@@ -1,0 +1,21 @@
+"""prego_tpu — TPU-native online procedural-mistake-detection framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the PREGO / TI-PREGO two-branch
+system (CVPR'24 "PREGO: Online Mistake Detection in PRocedural EGOcentric
+Videos"; reference implementation surveyed in SURVEY.md):
+
+  * step recognition  — MiniROAD-style streaming GRU over precomputed
+    per-frame TSN features, batched causal inference on the MXU
+    (reference: step_recognition/model/rnn/rnn.py).
+  * prediction aggregation — fixed-window majority-vote consensus
+    (reference: utils/aggregate.py).
+  * step anticipation — LLaMA-style decoder doing symbolic in-context
+    next-step prediction, tensor-parallel over a jax.sharding.Mesh
+    (reference: step_anticipation/llama/, src/models/llama_meta.py).
+  * mistake detection — recognized-step ∉ anticipated-set, one-class
+    metrics (reference: llama_meta.py get_metrics).
+"""
+
+from prego_tpu.version import __version__
+
+__all__ = ["__version__"]

@@ -1,0 +1,144 @@
+"""Full-video streaming evaluation + per-frame prediction export.
+
+Parity surface: Evaluate (step_recognition/trainer/eval.py:15-84):
+  * strictly-causal per-frame softmax scores over each full test video;
+  * on --eval, argmax pred/gt int lists per video dumped to
+    output_miniRoad/output_miniROAD.json (eval.py:50-65) — schema kept,
+    path configurable;
+  * per-frame mAP via metrics.perframe_average_precision;
+  * frames/sec logging (the reference's timer is broken by variable
+    shadowing, eval.py:35-36,77 — fixed here, SURVEY.md §7 quirk table).
+
+TPU-first design: instead of a python loop over batch-1 videos, all test
+videos are packed into one (V, Tmax, D) padded batch and streamed through
+the GRU in fixed-size time chunks with carried hidden state — constant
+device memory in video length, MXU-sized matmuls, one compile. The GRU is
+batch-independent and h0 is zero per video, so per-frame outputs match the
+reference's batch-1 eval exactly; padded frames are sliced off on host.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prego_tpu.core.registry import EVALUATORS
+from prego_tpu.data.features import FeatureStore
+from prego_tpu.data.windowing import pack_eval_batch
+from prego_tpu.metrics.perframe import perframe_average_precision
+from prego_tpu.models.miniroad import MiniROAD
+
+
+def make_chunk_fn(model: MiniROAD, flow_is_zero: bool, softmax: bool = True):
+    """Jitted chunk forward: (params, rgb (B,C,Dr), flow, hidden) -> (scores, hidden)."""
+
+    @jax.jit
+    def chunk_fn(params, rgb, flow, hidden):
+        x = model._embed(params, rgb, flow, flow_is_zero=flow_is_zero, train=False, dropout_rng=None)
+        new_hidden = []
+        h_seq = x
+        for layer_params, h0 in zip(params["gru"], hidden):
+            from prego_tpu.ops.gru import gru_scan
+
+            h_seq, hT = gru_scan(h_seq, h0, layer_params)
+            new_hidden.append(hT)
+        logits = model._classify(params, h_seq)
+        out = jax.nn.softmax(logits, axis=-1) if softmax else logits
+        return out, tuple(new_hidden)
+
+    return chunk_fn
+
+
+def streaming_scores(
+    model: MiniROAD,
+    params,
+    rgb: np.ndarray,
+    flow: np.ndarray,
+    flow_is_zero: bool,
+    chunk_size: int = 2048,
+    chunk_fn=None,
+) -> np.ndarray:
+    """Causal scores for a padded batch (V, T, D) -> (V, T, K), chunked over time."""
+    V, T = rgb.shape[0], rgb.shape[1]
+    if chunk_fn is None:
+        chunk_fn = make_chunk_fn(model, flow_is_zero)
+    hidden = model.init_hidden(V)
+    outs = []
+    for t0 in range(0, T, chunk_size):
+        t1 = min(t0 + chunk_size, T)
+        r = rgb[:, t0:t1]
+        f = flow[:, t0:t1]
+        if t1 - t0 < chunk_size:  # pad trailing chunk to the compiled shape
+            padw = chunk_size - (t1 - t0)
+            r = np.concatenate([r, np.zeros((V, padw, r.shape[2]), r.dtype)], axis=1)
+            f = np.concatenate([f, np.zeros((V, padw, f.shape[2]), f.dtype)], axis=1)
+        scores, hidden = chunk_fn(params, jnp.asarray(r), jnp.asarray(f), hidden)
+        outs.append(np.asarray(scores[:, : t1 - t0]))
+    return np.concatenate(outs, axis=1)
+
+
+@EVALUATORS.register("OAD")
+class Evaluator:
+    def __init__(self, cfg, class_names: List[str], logger=None):
+        self.cfg = cfg
+        self.class_names = class_names
+        self.metric = cfg["metric"]
+        self.logger = logger
+        # THUMOS postprocessing hook — None for the PREGO datasets (eval.py:20-22)
+        self.postprocessing = None
+
+    def __call__(
+        self,
+        model: MiniROAD,
+        params,
+        store: FeatureStore,
+        export_json: Optional[str] = None,
+        chunk_size: int = 2048,
+    ) -> Tuple[float, Dict]:
+        rgb, flow, target, lengths, vids = pack_eval_batch(store)
+        t_start = time.perf_counter()
+        scores = streaming_scores(
+            model, params, rgb, flow, store.flow_is_zero, chunk_size=chunk_size
+        )
+        jax.block_until_ready(scores)
+        elapsed = time.perf_counter() - t_start
+
+        pred_scores, gt_targets = [], []
+        output = {}
+        for i, vid in enumerate(vids):
+            t = int(lengths[i])
+            s = scores[i, :t]
+            g = target[i, :t]
+            pred_scores.append(s)
+            gt_targets.append(g)
+            output[vid] = {
+                "pred": np.argmax(s, axis=1).astype(int).tolist(),
+                "gt": np.argmax(g, axis=1).astype(int).tolist(),
+            }
+        pred_scores = np.concatenate(pred_scores, axis=0)
+        gt_targets = np.concatenate(gt_targets, axis=0)
+
+        if export_json is not None:
+            os.makedirs(os.path.dirname(export_json) or ".", exist_ok=True)
+            with open(export_json, "w") as f:
+                json.dump(output, f)
+
+        num_frames = int(lengths.sum())
+        if self.logger is not None:
+            self.logger.info(
+                f"Processed {num_frames} frames in {elapsed:.2f}s "
+                f"({num_frames / max(elapsed, 1e-9):.1f} FPS)"
+            )
+        result = perframe_average_precision(
+            pred_scores, gt_targets, self.class_names, self.postprocessing, self.metric
+        )
+        result["fps"] = num_frames / max(elapsed, 1e-9)
+        result["output"] = output
+        return result["mean_AP"], result
