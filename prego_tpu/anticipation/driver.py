@@ -1,0 +1,203 @@
+"""Anticipation + mistake-detection driver.
+
+Parity surface: anticipation()/main() shared by the reference drivers
+(llama_meta.py:102-217,220-391 primary; llm_hf.py / llm_ollama.py variants).
+One implementation here — the reference copy-pastes it three times.
+
+Semantics kept:
+  * per step i of a recognized sequence, build the in-context prompt and
+    sample the LLM; the anticipated SET is the union of cleaned samples;
+  * the reference issues num_samples outer calls each with the prompt
+    duplicated num_samples times (llama_meta.py:163-174) — num_samples²
+    i.i.d. samples. Here they are batched as ONE device dispatch of
+    num_samples² prompts (same distribution; SURVEY.md §7 calls this out),
+    with ``batch_mode="reference"`` available to reproduce the loop shape;
+  * a step is matched when the recognized symbol is in the anticipated set;
+    one-class metrics over {all steps, last step is the mistake};
+  * out_plot records anticipated-set size vs history length — kept, but
+    passed explicitly instead of a module global (quirk table: fix);
+  * results persisted as {prefix}_gts.pkl / {prefix}_preds.pkl / plot.pkl
+    in results/<run-id>/ with the reference's run-id format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Set
+
+from prego_tpu.anticipation.cleaning import clean_generation
+from prego_tpu.anticipation.llm import CompletionLLM
+from prego_tpu.anticipation.prompts import PromptBuilder, symbolize_sequence
+from prego_tpu.metrics.mistake import get_metrics
+
+
+@dataclass
+class AnticipationResult:
+    preds: Dict[str, List[Set]] = field(default_factory=dict)
+    gts: Dict[str, List] = field(default_factory=dict)
+    out_plot: Dict[int, Dict[str, int]] = field(default_factory=dict)
+    metrics: Optional[Dict[str, float]] = None
+
+
+def anticipate_sequence(
+    seq: Sequence,
+    builder: PromptBuilder,
+    llm: CompletionLLM,
+    max_gen_len: Optional[int] = 8,
+    temperature: float = 0.6,
+    top_p: float = 0.9,
+    num_samples: int = 1,
+    cleaning_mode: str = "meta",
+    batch_mode: str = "batched",
+    out_plot: Optional[Dict[int, Dict[str, int]]] = None,
+    verbose: bool = False,
+):
+    """Anticipate every step of one video's sequence. Returns (preds, gts)."""
+    preds: List[Set] = []
+    gts: List = []
+    for i in range(len(seq)):
+        prompt_ = builder.step_prompt(seq, i)
+        hist_len = len(builder.history(seq, i))
+        action = seq[i]
+
+        if batch_mode == "batched":
+            batches = [[prompt_] * (num_samples * num_samples)]
+        elif batch_mode == "reference":
+            batches = [[prompt_] * num_samples for _ in range(num_samples)]
+        else:
+            raise ValueError(f"unknown batch_mode {batch_mode!r}")
+
+        pred: Set = set()
+        for prompts in batches:
+            results = llm.text_completion(
+                prompts, max_gen_len=max_gen_len, temperature=temperature, top_p=top_p
+            )
+            for res in results:
+                v = clean_generation(res["generation"], builder.type_prompt, cleaning_mode)
+                if out_plot is not None:
+                    # set size recorded BEFORE insertion (llama_meta.py:192-196)
+                    if hist_len in out_plot:
+                        out_plot[hist_len]["sum"] += len(pred)
+                        out_plot[hist_len]["count"] += 1
+                    else:
+                        out_plot[hist_len] = {"sum": len(pred), "count": 1}
+                pred.add(v)
+
+        gts.append(action)
+        preds.append(pred)
+        if verbose:
+            print(f"[INFO] >>>> {action} in {pred} ---> {action in pred}")
+    return preds, gts
+
+
+def get_toy(name: str) -> str:
+    """Toy id from an Assembly101 video name (llama_meta.py:61-70)."""
+    return name.split("-")[2].split("_")[0]
+
+
+def run_anticipation(
+    seqs: Dict[str, Dict[str, List[int]]],
+    llm: CompletionLLM,
+    dataset: str = "assembly",
+    contexts: Optional[Dict] = None,
+    toy2class: Optional[Dict[str, str]] = None,
+    idx2action: Optional[Dict[int, str]] = None,
+    idx2emoji: Optional[Dict[str, Dict[str, str]]] = None,
+    use_gt: bool = False,
+    type_prompt: str = "num",
+    prompt_context: str = "default",
+    toy_class_context: bool = False,
+    max_gen_len: Optional[int] = 8,
+    temperature: float = 0.6,
+    top_p: float = 0.9,
+    num_samples: int = 1,
+    cleaning_mode: str = "meta",
+    batch_mode: str = "batched",
+    eval_metrics: bool = True,
+    verbose: bool = False,
+    logger=None,
+) -> AnticipationResult:
+    """Anticipate + detect mistakes over all videos (llama_meta.py:299-350)."""
+    result = AnticipationResult()
+    contexts = contexts or {}
+    for i, (k, v) in enumerate(seqs.items()):
+        if dataset == "assembly":
+            toy = get_toy(k)
+            if toy_class_context:
+                if toy2class is None:
+                    raise ValueError("toy_class_context requires toy2class")
+                toy_class = toy2class[toy]
+                context = contexts[toy_class][type_prompt]
+            else:
+                toy_class = None
+                context = contexts.get(toy, {}).get(type_prompt, "")
+        else:  # epictent and other flat-context datasets
+            toy, toy_class = None, None
+            context = contexts.get(type_prompt, "") if contexts else ""
+        if logger is not None:
+            logger.info(f"[{i}/{len(seqs)}] video {k} toy={toy}")
+
+        seq = v["gt"] if use_gt else v["pred"]
+        seq = symbolize_sequence(seq, type_prompt, idx2action, idx2emoji)
+
+        builder = PromptBuilder(
+            context=context,
+            toy=toy,
+            toy_class=toy_class,
+            type_prompt=type_prompt,
+            prompt_context=prompt_context,
+        )
+        preds, gts = anticipate_sequence(
+            seq, builder, llm,
+            max_gen_len=max_gen_len, temperature=temperature, top_p=top_p,
+            num_samples=num_samples, cleaning_mode=cleaning_mode,
+            batch_mode=batch_mode, out_plot=result.out_plot, verbose=verbose,
+        )
+        result.preds[k] = preds
+        result.gts[k] = gts
+
+    if eval_metrics:
+        result.metrics = get_metrics(result.preds, result.gts)
+        if logger is not None:
+            m = result.metrics
+            logger.info(
+                "Accuracy: {:.3f}, Precision: {:.3f}, Recall: {:.3f}, F1: {:.3f}".format(
+                    m["accuracy"], m["precision"], m["recall"], m["f1"]
+                )
+            )
+    return result
+
+
+def save_results(
+    result: AnticipationResult,
+    results_root: str,
+    model: str,
+    use_gt: bool,
+    type_prompt: str,
+    clean_prediction: bool,
+    num_samples: int,
+    temperature: float,
+    dataset: str,
+    prompt_context: str,
+    prefix: str = "llama",
+) -> str:
+    """Persist pickles under the reference's run-id scheme (llama_meta.py:352-391)."""
+    save_folder = "{}_{:d}_{}_{:d}_{:d}_{:.2f}_{}_{}".format(
+        model, use_gt, type_prompt, int(clean_prediction),
+        num_samples, temperature, dataset, prompt_context,
+    )
+    out_dir = os.path.join(results_root, save_folder)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"{prefix}_gts.pkl"), "wb") as f:
+        pickle.dump(result.gts, f)
+    with open(os.path.join(out_dir, f"{prefix}_preds.pkl"), "wb") as f:
+        pickle.dump(result.preds, f)
+    with open(os.path.join(out_dir, "plot.pkl"), "wb") as f:
+        pickle.dump(result.out_plot, f)
+    if result.metrics is not None:
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(result.metrics, f, indent=2)
+    return out_dir

@@ -1,0 +1,117 @@
+"""LLM seam for step anticipation.
+
+Parity surface: the reference proves the LLM is swappable behind
+``text_completion(prompts, max_gen_len, temperature, top_p)`` — three
+drivers share that seam (llama/generation.py:233-282 Llama.text_completion,
+llm_hf.py:37-58 HFModel.text_completion, llm_ollama.py ollama.chat wrapper).
+This module defines the protocol plus:
+
+  * FakeLLM — a deterministic next-symbol oracle for hermetic end-to-end
+    tests (SURVEY.md §4);
+  * HFPipelineLLM — transformers pipeline adapter (llm_hf.py parity);
+  * the TPU-native JAX LLaMA adapter lives in prego_tpu.models.llama.
+
+Completion dicts carry {"generation": str} with the prompt echo already
+stripped, matching Llama.text_completion output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Protocol, Sequence
+
+from prego_tpu.core.registry import LLMS
+
+
+class CompletionLLM(Protocol):
+    def text_completion(
+        self,
+        prompts: List[str],
+        max_gen_len: Optional[int] = None,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+    ) -> List[Dict[str, str]]: ...
+
+
+@LLMS.register("fake")
+class FakeLLM:
+    """Deterministic in-context next-symbol oracle.
+
+    Parses the last "Input Sequence:"-style block of the prompt and answers
+    with a configurable function of the history (default: echo the last
+    symbol). Lets the full anticipation pipeline run hermetically.
+    """
+
+    def __init__(
+        self,
+        oracle: Optional[Callable[[List[str]], str]] = None,
+        input_marker: str = "\n",
+    ):
+        self.oracle = oracle or (lambda hist: hist[-1])
+        self.calls: List[List[str]] = []
+
+    def _history_from_prompt(self, prompt: str) -> List[str]:
+        # The step prompt ends "...{input}\n {hist}\n{output}\n" — the
+        # history is the penultimate non-empty line.
+        lines = [ln for ln in prompt.split("\n") if ln.strip()]
+        hist_line = lines[-2] if len(lines) >= 2 else ""
+        return [tok.strip() for tok in hist_line.split(",") if tok.strip()]
+
+    def text_completion(
+        self,
+        prompts: List[str],
+        max_gen_len: Optional[int] = None,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+    ) -> List[Dict[str, str]]:
+        self.calls.append(list(prompts))
+        out = []
+        for p in prompts:
+            hist = self._history_from_prompt(p)
+            out.append({"generation": f" {self.oracle(hist)}"})
+        return out
+
+
+@LLMS.register("hf")
+class HFPipelineLLM:
+    """transformers text-generation pipeline adapter (llm_hf.py:24-58).
+
+    The pipeline echoes the prompt; it is stripped here so every backend
+    honours the same no-echo contract.
+    """
+
+    def __init__(self, model_name: str, device_map: str = "auto"):
+        from transformers import pipeline  # lazy: heavy import
+
+        self.pipe = pipeline(
+            "text-generation",
+            model=model_name,
+            tokenizer=model_name,
+            device_map=device_map,
+        )
+
+    def text_completion(
+        self,
+        prompts: List[str],
+        max_gen_len: Optional[int] = None,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+    ) -> List[Dict[str, str]]:
+        do_sample = temperature > 0
+        kwargs = {
+            "max_new_tokens": max_gen_len,
+            "do_sample": do_sample,
+            "return_full_text": False,
+        }
+        if do_sample:
+            kwargs.update(temperature=temperature, top_p=top_p)
+        outputs = self.pipe(prompts, **kwargs)
+        flat = []
+        for res in outputs:
+            if isinstance(res, list):
+                res = res[0]
+            flat.append({"generation": res["generated_text"]})
+        return flat
+
+
+def build_llm(name: str, **kwargs) -> CompletionLLM:
+    return LLMS.get(name)(**kwargs)
