@@ -113,5 +113,88 @@ class HFPipelineLLM:
         return flat
 
 
+@LLMS.register("jax-llama")
+class JaxLlamaLLM:
+    """TPU-native LLaMA backend (replaces the vendored Meta runtime +
+    torchrun/NCCL/fairscale launch, llama/generation.py:52-123).
+
+    Loads Meta consolidated .pth shards or an HF export, merges them on
+    host, and (optionally) shards tensor-parallel over a ('tp',) mesh.
+    """
+
+    def __init__(
+        self,
+        ckpt_dir: str,
+        tokenizer_path: str,
+        max_seq_len: int = 512,
+        max_batch_size: int = 8,
+        tp: Optional[int] = None,
+        dtype=None,
+    ):
+        import jax.numpy as jnp
+
+        from prego_tpu.checkpoint.convert import (
+            convert_hf_checkpoint,
+            convert_meta_checkpoint,
+        )
+        from prego_tpu.models.llama import Llama, LlamaConfig, load_tokenizer
+        from prego_tpu.parallel import llama_param_specs, shard_params, tp_mesh
+
+        dtype = dtype or jnp.bfloat16
+        tokenizer = load_tokenizer(tokenizer_path)
+        import os.path as osp
+
+        if not osp.isdir(ckpt_dir):
+            raise FileNotFoundError(
+                f"ckpt_dir {ckpt_dir!r} does not exist (expected a Meta "
+                "checkpoint dir with params.json or an HF export with config.json)"
+            )
+        if osp.exists(osp.join(ckpt_dir, "params.json")):
+            config = LlamaConfig.from_params_json(
+                ckpt_dir,
+                max_seq_len=max_seq_len,
+                max_batch_size=max_batch_size,
+                vocab_size=tokenizer.n_words,
+            )
+            params = convert_meta_checkpoint(ckpt_dir, config, dtype)
+        else:  # HF-format directory (config.json + safetensors)
+            import json as _json
+
+            with open(osp.join(ckpt_dir, "config.json")) as f:
+                hf = _json.load(f)
+            config = LlamaConfig(
+                dim=hf["hidden_size"],
+                n_layers=hf["num_hidden_layers"],
+                n_heads=hf["num_attention_heads"],
+                n_kv_heads=hf.get("num_key_value_heads"),
+                vocab_size=hf["vocab_size"],
+                norm_eps=hf.get("rms_norm_eps", 1e-5),
+                rope_theta=hf.get("rope_theta", 10000.0),
+                max_seq_len=max_seq_len,
+                max_batch_size=max_batch_size,
+            )
+            params = convert_hf_checkpoint(ckpt_dir, config, dtype)
+
+        import jax
+
+        if tp is None:
+            tp = len(jax.devices())
+        if tp > 1:
+            mesh = tp_mesh(tp)
+            params = shard_params(params, llama_param_specs(config), mesh)
+        self.llama = Llama(params, tokenizer, config)
+
+    def text_completion(
+        self,
+        prompts: List[str],
+        max_gen_len: Optional[int] = None,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+    ) -> List[Dict[str, str]]:
+        return self.llama.text_completion(
+            prompts, temperature=temperature, top_p=top_p, max_gen_len=max_gen_len
+        )
+
+
 def build_llm(name: str, **kwargs) -> CompletionLLM:
     return LLMS.get(name)(**kwargs)

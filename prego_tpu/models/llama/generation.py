@@ -1,0 +1,217 @@
+"""Batched LLaMA generation — prefill + jitted single-token decode loop.
+
+Parity surface: Llama.generate / Llama.text_completion
+(llama/generation.py:127-282):
+  * left-aligned prompts padded with pad_id into a (B, total_len) buffer;
+  * positions still inside a longer prompt keep their prompt token
+    (input_text_mask override, generation.py:204-207);
+  * per-prompt eos tracked only on generated positions; loop exits when
+    every row has emitted eos (generation.py:208-212);
+  * host-side post-processing cuts echo, max_gen_len and eos
+    (generation.py:216-231).
+
+TPU-first: the whole decode loop is ONE jitted lax.while_loop (prefill of
+the shared prompt prefix, then one-token steps), cache donated through the
+loop, with static buffer shapes — total_len is bucketed so recompiles are
+bounded. The reference instead dispatches one python-driven forward per
+token.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prego_tpu.models.llama.config import LlamaConfig
+from prego_tpu.models.llama.model import (
+    Cache,
+    Params,
+    forward,
+    init_cache,
+    precompute_rope,
+)
+from prego_tpu.ops.sampling import sample_next_token
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "temperature", "top_p", "eos_id", "pad_id"),
+    donate_argnames=("cache",),
+)
+def _generate_jit(
+    params: Params,
+    tokens: jax.Array,  # (B, total_len) int32, pad-filled
+    min_prompt_len: jax.Array,  # scalar int32
+    total_len: jax.Array,  # scalar int32 (actual, <= buffer len)
+    cache: Cache,
+    key: jax.Array,
+    config: LlamaConfig,
+    temperature: float,
+    top_p: float,
+    eos_id: int,
+    pad_id: int,
+) -> jax.Array:
+    rope = precompute_rope(config)
+    B, buf_len = tokens.shape
+    input_text_mask = tokens != pad_id
+
+    # prefill the shared prompt prefix [0, min_prompt_len)
+    # (static buffer, masked: run forward over the full buffer prefix is
+    # wasteful, so prefill over a static max and rely on bucketing instead)
+    prefill_logits, cache = forward(
+        params, tokens, jnp.int32(0), cache, config, rope
+    )
+    # logits at position min_prompt_len-1 predict the first generated token
+    last_logits = jax.vmap(lambda l, i: l[i])(
+        prefill_logits, jnp.full((B,), min_prompt_len - 1)
+    )
+
+    def cond(state):
+        cur_pos, _, _, _, eos_reached, _ = state
+        return (cur_pos < total_len) & ~jnp.all(eos_reached)
+
+    def body(state):
+        cur_pos, tokens, cache, last_logits, eos_reached, key = state
+        key, sub = jax.random.split(key)
+        next_token = sample_next_token(last_logits, sub, temperature, top_p)
+        # keep prompt tokens where the prompt is still running (gen.py:204-207)
+        cur_col = jax.lax.dynamic_index_in_dim(tokens, cur_pos, axis=1, keepdims=False)
+        cur_mask = jax.lax.dynamic_index_in_dim(
+            input_text_mask, cur_pos, axis=1, keepdims=False
+        )
+        next_token = jnp.where(cur_mask, cur_col, next_token)
+        # rows already done keep emitting pad so eos cut is stable
+        next_token = jnp.where(eos_reached, jnp.int32(pad_id), next_token)
+        tokens = jax.lax.dynamic_update_slice(tokens, next_token[:, None], (0, cur_pos))
+        eos_reached = eos_reached | (~cur_mask & (next_token == eos_id))
+
+        logits, cache = forward(
+            params, next_token[:, None], cur_pos, cache, config, rope
+        )
+        return (cur_pos + 1, tokens, cache, logits[:, 0], eos_reached, key)
+
+    state = (
+        min_prompt_len.astype(jnp.int32),
+        tokens,
+        cache,
+        last_logits,
+        jnp.zeros((B,), bool),
+        key,
+    )
+    _, tokens, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens
+
+
+class Llama:
+    """User-facing generation wrapper (Llama.build/text_completion parity)."""
+
+    def __init__(
+        self,
+        params: Params,
+        tokenizer,
+        config: LlamaConfig,
+        pad_to_multiple: int = 64,
+    ):
+        self.params = params
+        self.tokenizer = tokenizer
+        self.config = config
+        self.pad_to_multiple = pad_to_multiple
+        self._key = jax.random.PRNGKey(1)  # seed parity: generation.py:95
+
+    # -- low level --
+
+    def generate(
+        self,
+        prompt_tokens: List[List[int]],
+        max_gen_len: int,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+        echo: bool = False,
+    ) -> List[List[int]]:
+        config = self.config
+        bsz = len(prompt_tokens)
+        if bsz > config.max_batch_size:
+            # transparently split oversized batches (the reference asserts,
+            # generation.py:160; the batched num_samples^2 dispatch makes
+            # overflow easy to hit, so chunk instead)
+            out: List[List[int]] = []
+            for i in range(0, bsz, config.max_batch_size):
+                out.extend(
+                    self.generate(
+                        prompt_tokens[i : i + config.max_batch_size],
+                        max_gen_len, temperature, top_p, echo,
+                    )
+                )
+            return out
+        min_prompt_len = min(len(t) for t in prompt_tokens)
+        max_prompt_len = max(len(t) for t in prompt_tokens)
+        assert max_prompt_len <= config.max_seq_len
+        total_len = min(config.max_seq_len, max_gen_len + max_prompt_len)
+
+        pad_id = self.tokenizer.pad_id
+        buf_len = min(
+            _round_up(total_len, self.pad_to_multiple), config.max_seq_len
+        )
+        tokens = np.full((bsz, buf_len), pad_id, np.int32)
+        for i, t in enumerate(prompt_tokens):
+            tokens[i, : len(t)] = np.asarray(t, np.int32)
+
+        if min_prompt_len == total_len:
+            out = tokens  # nothing to generate (generation.py:179-186 edge)
+        else:
+            cache = init_cache(config, bsz, dtype=self.params["norm"].dtype)
+            self._key, key = jax.random.split(self._key)
+            out = np.asarray(
+                _generate_jit(
+                    self.params,
+                    jnp.asarray(tokens),
+                    jnp.int32(min_prompt_len),
+                    jnp.int32(total_len),
+                    cache,
+                    key,
+                    config=config,
+                    temperature=float(temperature),
+                    top_p=float(top_p),
+                    eos_id=int(self.tokenizer.eos_id),
+                    pad_id=int(pad_id),
+                )
+            )
+
+        out_tokens = []
+        for i, toks in enumerate(out.tolist()):
+            start = 0 if echo else len(prompt_tokens[i])
+            toks = toks[start : len(prompt_tokens[i]) + max_gen_len]
+            # cut at pad (pure padding / post-eos fill), then at eos
+            if pad_id in toks:
+                toks = toks[: toks.index(pad_id)]
+            if self.tokenizer.eos_id in toks:
+                toks = toks[: toks.index(self.tokenizer.eos_id)]
+            out_tokens.append(toks)
+        return out_tokens
+
+    # -- reference seam --
+
+    def text_completion(
+        self,
+        prompts: List[str],
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+        max_gen_len: Optional[int] = None,
+        echo: bool = False,
+    ) -> List[Dict[str, str]]:
+        if max_gen_len is None:
+            max_gen_len = self.config.max_seq_len - 1
+        prompt_tokens = [self.tokenizer.encode(x, bos=True, eos=False) for x in prompts]
+        generation_tokens = self.generate(
+            prompt_tokens, max_gen_len=max_gen_len,
+            temperature=temperature, top_p=top_p, echo=echo,
+        )
+        return [{"generation": self.tokenizer.decode(t)} for t in generation_tokens]

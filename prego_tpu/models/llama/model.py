@@ -1,0 +1,221 @@
+"""TPU-native LLaMA decoder in functional JAX.
+
+Parity surface: the vendored Meta reference decoder
+(step_anticipation/llama/model.py:19-487): RMSNorm, rotary embeddings
+(complex-multiply form — here the equivalent real paired rotation), grouped
+-query attention with repeat_kv, SwiGLU FFN, final norm + output head.
+
+TPU-first design decisions:
+  * functional params + functional KV cache — no in-place CUDA buffers
+    (model.py:237-252); the cache is a pytree threaded through jit, updated
+    with lax.dynamic_update_slice, donated between decode steps;
+  * attention always scores against the full max_seq_len cache with a
+    position mask instead of dynamically-sliced cache views — static shapes
+    so XLA compiles one kernel (model.py:283-290 slices dynamically);
+  * tensor parallelism is sharding metadata, not module classes: wq/wk/wv/
+    w1/w3 are column-sharded, wo/w2 row-sharded, exactly the fairscale
+    Column/RowParallelLinear layout (model.py:202-235,338-346), with XLA
+    inserting the all-reduces over ICI;
+  * bf16 parameters/activations with f32 softmax, norms and logits
+    (the reference runs fp16 with f32 norm upcasts, model.py:75-77).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from prego_tpu.models.llama.config import LlamaConfig
+
+Params = Dict[str, Any]
+Cache = Dict[str, jax.Array]
+
+
+# ---- initialization ----
+
+def init_params(
+    config: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16
+) -> Params:
+    """Random init (normal/scaled); real weights come from the converter."""
+    D, V, F = config.dim, config.vocab_size, config.ffn_hidden
+    H, KV, hd = config.n_heads, config.kv_heads, config.head_dim
+    n = config.n_layers
+    keys = iter(jax.random.split(key, 4 + 7 * n))
+
+    def dense(k, d_in, d_out):
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d_in, jnp.float32))
+        return (jax.random.normal(k, (d_in, d_out), jnp.float32) * scale).astype(dtype)
+
+    layers = []
+    for _ in range(n):
+        layers.append(
+            {
+                "attention": {
+                    "wq": dense(next(keys), D, H * hd),
+                    "wk": dense(next(keys), D, KV * hd),
+                    "wv": dense(next(keys), D, KV * hd),
+                    "wo": dense(next(keys), H * hd, D),
+                },
+                "feed_forward": {
+                    "w1": dense(next(keys), D, F),
+                    "w2": dense(next(keys), F, D),
+                    "w3": dense(next(keys), D, F),
+                },
+                "attention_norm": jnp.ones((D,), dtype),
+                "ffn_norm": jnp.ones((D,), dtype),
+            }
+        )
+    return {
+        "tok_embeddings": dense(next(keys), V, D),
+        "layers": layers,
+        "norm": jnp.ones((D,), dtype),
+        "output": dense(next(keys), D, V),
+    }
+
+
+def init_cache(config: LlamaConfig, batch: int, dtype=jnp.bfloat16) -> Cache:
+    shape = (config.n_layers, batch, config.max_seq_len, config.kv_heads, config.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+# ---- building blocks ----
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (normed.astype(x.dtype)) * weight
+
+
+def precompute_rope(config: LlamaConfig) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables, shape (2*max_seq_len, head_dim//2) like the reference's
+    freqs_cis precomputed at 2x max_seq_len (model.py:450-456)."""
+    hd = config.head_dim
+    inv_freq = 1.0 / (
+        config.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    t = jnp.arange(2 * config.max_seq_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)  # (T, hd/2)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate adjacent pairs: equivalent to the reference's complex multiply
+    (model.py:132-165). x: (B, S, H, hd); cos/sin: (S, hd/2)."""
+    B, S, H, hd = x.shape
+    xf = x.astype(jnp.float32).reshape(B, S, H, hd // 2, 2)
+    x0, x1 = xf[..., 0], xf[..., 1]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out0 = x0 * c - x1 * s
+    out1 = x0 * s + x1 * c
+    return jnp.stack([out0, out1], axis=-1).reshape(B, S, H, hd).astype(x.dtype)
+
+
+def _attention(
+    layer_params: Params,
+    x: jax.Array,
+    start_pos: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    config: LlamaConfig,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    B, S, D = x.shape
+    H, KV, hd = config.n_heads, config.kv_heads, config.head_dim
+    p = layer_params
+
+    xq = jnp.dot(x, p["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
+    xk = jnp.dot(x, p["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
+    xv = jnp.dot(x, p["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    xq = xq.reshape(B, S, H, hd)
+    xk = xk.reshape(B, S, KV, hd)
+    xv = xv.reshape(B, S, KV, hd)
+
+    xq = apply_rope(xq, cos, sin)
+    xk = apply_rope(xk, cos, sin)
+
+    # functional cache update at [.., start_pos:start_pos+S, ..]
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, xk.astype(cache_k.dtype), (0, start_pos, 0, 0)
+    )
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, xv.astype(cache_v.dtype), (0, start_pos, 0, 0)
+    )
+
+    # GQA: group query heads over kv heads; score against the full cache
+    # with a causal+validity mask (static shapes; see module docstring)
+    T = cache_k.shape[1]
+    q = xq.reshape(B, S, KV, H // KV, hd)
+    scores = jnp.einsum(
+        "bsgrh,btgh->bgrst", q, cache_k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+
+    q_pos = start_pos + jnp.arange(S)[:, None]  # (S, 1) absolute positions
+    k_pos = jnp.arange(T)[None, :]  # (1, T)
+    mask = k_pos <= q_pos  # causal over cache
+    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+
+    out = jnp.einsum(
+        "bgrst,btgh->bsgrh", probs, cache_v, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    out = out.reshape(B, S, H * hd)
+    return (
+        jnp.dot(out, p["wo"], preferred_element_type=jnp.float32).astype(x.dtype),
+        cache_k,
+        cache_v,
+    )
+
+
+def _feed_forward(layer_params: Params, x: jax.Array) -> jax.Array:
+    p = layer_params
+    gate = jnp.dot(x, p["w1"], preferred_element_type=jnp.float32)
+    up = jnp.dot(x, p["w3"], preferred_element_type=jnp.float32)
+    act = (jax.nn.silu(gate) * up).astype(x.dtype)
+    return jnp.dot(act, p["w2"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def forward(
+    params: Params,
+    tokens: jax.Array,  # (B, S) int32
+    start_pos: jax.Array,  # scalar int32
+    cache: Cache,
+    config: LlamaConfig,
+    rope: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, Cache]:
+    """Decoder forward. Returns (f32 logits (B, S, V), updated cache)."""
+    if rope is None:
+        rope = precompute_rope(config)
+    cos_full, sin_full = rope
+    S = tokens.shape[1]
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, start_pos, S, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, start_pos, S, axis=0)
+
+    h = jnp.take(params["tok_embeddings"], tokens, axis=0)
+
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        attn_out, ck, cv = _attention(
+            layer["attention"],
+            rms_norm(h, layer["attention_norm"], config.norm_eps),
+            start_pos,
+            cos,
+            sin,
+            cache["k"][i],
+            cache["v"][i],
+            config,
+        )
+        new_k.append(ck)
+        new_v.append(cv)
+        h = h + attn_out
+        h = h + _feed_forward(
+            layer["feed_forward"], rms_norm(h, layer["ffn_norm"], config.norm_eps)
+        )
+
+    h = rms_norm(h, params["norm"], config.norm_eps)
+    logits = jnp.dot(h, params["output"], preferred_element_type=jnp.float32)
+    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}

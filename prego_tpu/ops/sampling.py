@@ -1,0 +1,45 @@
+"""Token sampling.
+
+Parity surface: sample_top_p (llama/generation.py:398-421): sort
+descending, keep the smallest prefix whose cumulative mass exceeds top_p
+(mask where cumsum - p_i > p), renormalize over the kept set, sample, map
+back through the sort indices. Greedy argmax at temperature 0
+(generation.py:190-194).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_top_p(probs: jax.Array, p: float, key: jax.Array) -> jax.Array:
+    """probs: (B, V) f32 probabilities. Returns (B,) int32 sampled ids."""
+    V = probs.shape[-1]
+    probs_sort, probs_idx = jax.lax.top_k(probs, V)  # descending sort
+    cumsum = jnp.cumsum(probs_sort, axis=-1)
+    mask = cumsum - probs_sort > p  # same exclusive-prefix rule as reference
+    probs_sort = jnp.where(mask, 0.0, probs_sort)
+    probs_sort = probs_sort / jnp.sum(probs_sort, axis=-1, keepdims=True)
+    sampled = jax.random.categorical(key, jnp.log(probs_sort))
+    return jnp.take_along_axis(probs_idx, sampled[:, None], axis=-1)[:, 0]
+
+
+def sample_next_token(
+    logits: jax.Array,  # (B, V) f32
+    key: jax.Array,
+    temperature: float,
+    top_p: float,
+) -> jax.Array:
+    """Temperature>0 -> nucleus sampling; ==0 -> greedy (generation.py:190-194)."""
+
+    def sampled(_):
+        probs = jax.nn.softmax(logits / jnp.maximum(temperature, 1e-9), axis=-1)
+        return sample_top_p(probs, top_p, key)
+
+    def greedy(_):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if isinstance(temperature, (int, float)):
+        return sampled(None) if temperature > 0 else greedy(None)
+    return jax.lax.cond(temperature > 0, sampled, greedy, None).astype(jnp.int32)

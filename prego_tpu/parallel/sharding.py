@@ -1,0 +1,58 @@
+"""Tensor-parallel sharding rules for the LLaMA decoder.
+
+TPU-native replacement for fairscale's Column/RowParallelLinear +
+ParallelEmbedding module classes (llama/model.py:202-235,338-346,438-449):
+the SAME math runs everywhere; parallelism is expressed purely as
+PartitionSpec metadata on the weight pytree, and XLA's SPMD partitioner
+inserts the all-reduces over ICI (SURVEY.md §2.4).
+
+Layout (weights stored (in, out)):
+  wq/wk/wv, w1/w3 : shard OUT dim  -> P(None, 'tp')  (column-parallel)
+  wo, w2          : shard IN dim   -> P('tp', None)  (row-parallel)
+  tok_embeddings  : shard emb dim  -> P(None, 'tp')  (ParallelEmbedding)
+  output head     : shard vocab    -> P(None, 'tp')
+  norms           : replicated
+  KV cache        : shard kv heads -> P(None, None, None, 'tp', None)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from prego_tpu.models.llama.config import LlamaConfig
+
+
+def llama_param_specs(config: LlamaConfig, tp_axis: str = "tp") -> Dict[str, Any]:
+    col = P(None, tp_axis)
+    row = P(tp_axis, None)
+    rep = P()
+    layer = {
+        "attention": {"wq": col, "wk": col, "wv": col, "wo": row},
+        "feed_forward": {"w1": col, "w2": row, "w3": col},
+        "attention_norm": rep,
+        "ffn_norm": rep,
+    }
+    return {
+        "tok_embeddings": P(None, tp_axis),
+        "layers": [layer for _ in range(config.n_layers)],
+        "norm": rep,
+        "output": P(None, tp_axis),
+    }
+
+
+def llama_cache_specs(tp_axis: str = "tp") -> Dict[str, P]:
+    spec = P(None, None, None, tp_axis, None)  # (layer, B, T, kv_heads, hd)
+    return {"k": spec, "v": spec}
+
+
+def shard_params(params, specs, mesh: Mesh):
+    """device_put the pytree with NamedShardings from a matching spec tree."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )

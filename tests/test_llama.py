@@ -1,0 +1,208 @@
+"""LLaMA decoder numerics vs an independent torch oracle of the published
+architecture (RMSNorm, complex-form RoPE, GQA, SwiGLU — llama/model.py),
+KV-cache consistency, generation semantics, and TP sharding equivalence."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from prego_tpu.models.llama import (
+    LlamaConfig,
+    forward,
+    init_cache,
+    init_params,
+    tiny_test_config,
+)
+
+CFG = tiny_test_config(vocab_size=96)
+
+
+@pytest.fixture(scope="module")
+def params_f32():
+    return init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+# ---------------- torch oracle (independent restatement of the math) -------
+
+def torch_rmsnorm(x, w, eps):
+    xf = x.float()
+    return (xf * torch.rsqrt(xf.pow(2).mean(-1, keepdim=True) + eps)) * w
+
+
+def torch_rope_tables(head_dim, end, theta=10000.0):
+    freqs = 1.0 / (theta ** (torch.arange(0, head_dim, 2).float() / head_dim))
+    t = torch.arange(end).float()
+    freqs = torch.outer(t, freqs)
+    return torch.polar(torch.ones_like(freqs), freqs)  # complex64
+
+
+def torch_apply_rope(x, freqs_cis):
+    # x: (B, S, H, hd) -> adjacent-pair complex rotation
+    xc = torch.view_as_complex(x.float().reshape(*x.shape[:-1], -1, 2))
+    out = torch.view_as_real(xc * freqs_cis[None, :, None, :]).flatten(3)
+    return out
+
+
+def torch_llama_forward(params, tokens, cfg: LlamaConfig, start_pos=0, past=None):
+    """Full-attention oracle (no cache tricks): returns logits (B, S, V)."""
+    p = lambda a: torch.tensor(np.asarray(a, np.float32))
+    emb = p(params["tok_embeddings"])
+    h = emb[tokens]  # (B, S, D)
+    B, S, D = h.shape
+    H, KV, hd = cfg.n_heads, cfg.kv_heads, cfg.head_dim
+    freqs = torch_rope_tables(hd, 2 * cfg.max_seq_len, cfg.rope_theta)
+
+    if past is not None:
+        h_all = torch.cat([emb[past], h], dim=1)
+    else:
+        h_all = h
+    T = h_all.shape[1]
+    fc = freqs[:T]
+
+    for layer in params["layers"]:
+        a = layer["attention"]
+        x = torch_rmsnorm(h_all, p(layer["attention_norm"]), cfg.norm_eps)
+        q = (x @ p(a["wq"])).reshape(B, T, H, hd)
+        k = (x @ p(a["wk"])).reshape(B, T, KV, hd)
+        v = (x @ p(a["wv"])).reshape(B, T, KV, hd)
+        q = torch_apply_rope(q, fc)
+        k = torch_apply_rope(k, fc)
+        # repeat kv heads
+        rep = H // KV
+        k = k.repeat_interleave(rep, dim=2)
+        v = v.repeat_interleave(rep, dim=2)
+        q, k, v = (t.transpose(1, 2) for t in (q, k, v))  # (B, H, T, hd)
+        scores = q @ k.transpose(2, 3) / math.sqrt(hd)
+        mask = torch.triu(torch.full((T, T), float("-inf")), diagonal=1)
+        scores = scores + mask
+        probs = torch.softmax(scores.float(), dim=-1)
+        attn = (probs @ v).transpose(1, 2).reshape(B, T, H * hd)
+        h_all = h_all + attn @ p(a["wo"])
+        f = layer["feed_forward"]
+        x = torch_rmsnorm(h_all, p(layer["ffn_norm"]), cfg.norm_eps)
+        h_all = h_all + (torch.nn.functional.silu(x @ p(f["w1"])) * (x @ p(f["w3"]))) @ p(f["w2"])
+
+    h_all = torch_rmsnorm(h_all, p(params["norm"]), cfg.norm_eps)
+    logits = h_all @ p(params["output"])
+    return logits[:, -S:] if past is not None else logits
+
+
+# ---------------------------------------------------------------- tests ----
+
+def test_prefill_matches_torch_oracle(params_f32, rng):
+    B, S = 2, 10
+    tokens = rng.integers(0, CFG.vocab_size, (B, S)).astype(np.int32)
+    cache = init_cache(CFG, B, dtype=jnp.float32)
+    logits, _ = forward(params_f32, jnp.asarray(tokens), jnp.int32(0), cache, CFG)
+    oracle = torch_llama_forward(params_f32, torch.tensor(tokens, dtype=torch.long), CFG)
+    np.testing.assert_allclose(
+        np.asarray(logits), oracle.numpy(), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_kv_decode_matches_prefill(params_f32, rng):
+    """Incremental decode with the functional cache == one-shot prefill."""
+    B, S = 2, 12
+    tokens = rng.integers(0, CFG.vocab_size, (B, S)).astype(np.int32)
+    cache = init_cache(CFG, B, dtype=jnp.float32)
+    full_logits, _ = forward(params_f32, jnp.asarray(tokens), jnp.int32(0), cache, CFG)
+
+    cache = init_cache(CFG, B, dtype=jnp.float32)
+    prefix = 5
+    l1, cache = forward(
+        params_f32, jnp.asarray(tokens[:, :prefix]), jnp.int32(0), cache, CFG
+    )
+    step_logits = [np.asarray(l1)]
+    for t in range(prefix, S):
+        lt, cache = forward(
+            params_f32, jnp.asarray(tokens[:, t : t + 1]), jnp.int32(t), cache, CFG
+        )
+        step_logits.append(np.asarray(lt))
+    incremental = np.concatenate(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(full_logits), incremental, rtol=2e-4, atol=2e-4)
+
+
+def test_generate_greedy_matches_manual_loop(params_f32, rng):
+    from prego_tpu.models.llama import ByteTokenizer, Llama
+
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    llama = Llama(params, tok, cfg)
+
+    prompt = [5, 6, 7, 8]
+    out = llama.generate([prompt], max_gen_len=6, temperature=0.0)[0]
+
+    # manual greedy rollout through forward
+    cache = init_cache(cfg, 1, dtype=jnp.float32)
+    toks = list(prompt)
+    logits, cache = forward(params, jnp.asarray([toks]), jnp.int32(0), cache, cfg)
+    manual = []
+    nxt = int(jnp.argmax(logits[0, -1]))
+    for i in range(6):
+        manual.append(nxt)
+        if nxt == tok.eos_id:
+            break
+        logits, cache = forward(
+            params, jnp.asarray([[nxt]]), jnp.int32(len(toks) + i), cache, cfg
+        )
+        nxt = int(jnp.argmax(logits[0, -1]))
+    if tok.eos_id in manual:
+        manual = manual[: manual.index(tok.eos_id)]
+    assert out == manual
+
+
+def test_generate_unequal_prompts_keep_prompt_tokens(params_f32):
+    """Longer prompts must survive the min-prompt prefill (gen.py:204-207)."""
+    from prego_tpu.models.llama import ByteTokenizer, Llama
+
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    llama = Llama(params, tok, cfg)
+
+    short, long = [10, 11], [20, 21, 22, 23, 24, 25]
+    outs = llama.generate([short, long], max_gen_len=4, temperature=0.0, echo=True)
+    assert outs[0][: len(short)] == short
+    assert outs[1][: len(long)] == long
+    # batching must not change the longer prompt's own completion
+    solo = llama.generate([long], max_gen_len=4, temperature=0.0, echo=True)[0]
+    assert outs[1] == solo
+
+
+def test_sample_top_p_nucleus_membership():
+    from prego_tpu.ops.sampling import sample_top_p
+
+    probs = jnp.asarray([[0.5, 0.3, 0.15, 0.05]])
+    # p=0.6: cumsum-probs_sort = [0, .5, .8, .95] -> keep first two
+    keys = jax.random.split(jax.random.PRNGKey(0), 200)
+    samples = {int(sample_top_p(probs, 0.6, k)[0]) for k in keys}
+    assert samples <= {0, 1}
+    assert samples == {0, 1}  # both reachable after renormalization
+
+    # p→0 keeps only the argmax
+    samples0 = {int(sample_top_p(probs, 1e-6, k)[0]) for k in keys[:20]}
+    assert samples0 == {0}
+
+
+def test_tp_sharded_forward_matches_single(params_f32, rng):
+    """8-way TP on the virtual CPU mesh reproduces unsharded logits."""
+    from prego_tpu.parallel import llama_param_specs, shard_params, tp_mesh
+
+    B, S = 2, 8
+    tokens = rng.integers(0, CFG.vocab_size, (B, S)).astype(np.int32)
+    cache = init_cache(CFG, B, dtype=jnp.float32)
+    ref_logits, _ = forward(params_f32, jnp.asarray(tokens), jnp.int32(0), cache, CFG)
+
+    mesh = tp_mesh(8)
+    assert mesh.devices.size == 8
+    sharded = shard_params(params_f32, llama_param_specs(CFG), mesh)
+    cache2 = init_cache(CFG, B, dtype=jnp.float32)
+    tp_logits, _ = forward(sharded, jnp.asarray(tokens), jnp.int32(0), cache2, CFG)
+    np.testing.assert_allclose(
+        np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
