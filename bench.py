@@ -53,7 +53,8 @@ def main():
         for _ in range(2)
     ]
     zero_flow = jnp.zeros((B, CHUNK, 2048), jnp.float32)
-    chunk_fn = make_chunk_fn(model, flow_is_zero=True)
+    # the fused Pallas recurrence (ops/gru_pallas.py) is the production path
+    chunk_fn = make_chunk_fn(model, flow_is_zero=True, backend="pallas")
 
     # NOTE: on the tunneled TPU platform block_until_ready returns before
     # execution finishes; a scalar checksum fetch is the only reliable sync

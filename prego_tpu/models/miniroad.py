@@ -125,12 +125,19 @@ class MiniROAD:
             x = jnp.where(mask, x / keep, 0.0)
         return x.astype(rgb.dtype)
 
-    def _run_gru(self, params: Params, x: jax.Array, unroll: int = 1) -> jax.Array:
+    def _run_gru(
+        self, params: Params, x: jax.Array, unroll: int = 1, backend: str = "scan"
+    ) -> jax.Array:
         B = x.shape[0]
         h = x
         for layer_params in params["gru"]:
             h0 = jnp.zeros((B, self.hidden_dim), x.dtype)  # rnn.py:48-49 fixed zero h0
-            h, _ = gru_scan(h, h0, layer_params, unroll=unroll)
+            if backend == "pallas":
+                from prego_tpu.ops.gru_pallas import gru_pallas
+
+                h, _ = gru_pallas(h, h0, layer_params, stream_dtype=jnp.bfloat16)
+            else:
+                h, _ = gru_scan(h, h0, layer_params, unroll=unroll)
         return h
 
     def _classify(self, params: Params, h: jax.Array) -> jax.Array:

@@ -36,8 +36,15 @@ from prego_tpu.metrics.perframe import perframe_average_precision
 from prego_tpu.models.miniroad import MiniROAD
 
 
-def make_chunk_fn(model: MiniROAD, flow_is_zero: bool, softmax: bool = True):
-    """Jitted chunk forward: (params, rgb (B,C,Dr), flow, hidden) -> (scores, hidden)."""
+def make_chunk_fn(
+    model: MiniROAD, flow_is_zero: bool, softmax: bool = True, backend: str = "scan"
+):
+    """Jitted chunk forward: (params, rgb (B,C,Dr), flow, hidden) -> (scores, hidden).
+
+    backend='pallas' runs the fused VMEM-resident recurrence
+    (prego_tpu.ops.gru_pallas) — the production TPU path; 'scan' is the
+    XLA reference used on CPU and in numerics tests.
+    """
 
     @jax.jit
     def chunk_fn(params, rgb, flow, hidden):
@@ -45,9 +52,16 @@ def make_chunk_fn(model: MiniROAD, flow_is_zero: bool, softmax: bool = True):
         new_hidden = []
         h_seq = x
         for layer_params, h0 in zip(params["gru"], hidden):
-            from prego_tpu.ops.gru import gru_scan
+            if backend == "pallas":
+                from prego_tpu.ops.gru_pallas import gru_pallas
 
-            h_seq, hT = gru_scan(h_seq, h0, layer_params)
+                h_seq, hT = gru_pallas(
+                    h_seq, h0, layer_params, stream_dtype=jnp.bfloat16
+                )
+            else:
+                from prego_tpu.ops.gru import gru_scan
+
+                h_seq, hT = gru_scan(h_seq, h0, layer_params)
             new_hidden.append(hT)
         logits = model._classify(params, h_seq)
         out = jax.nn.softmax(logits, axis=-1) if softmax else logits
@@ -64,11 +78,12 @@ def streaming_scores(
     flow_is_zero: bool,
     chunk_size: int = 2048,
     chunk_fn=None,
+    backend: str = "scan",
 ) -> np.ndarray:
     """Causal scores for a padded batch (V, T, D) -> (V, T, K), chunked over time."""
     V, T = rgb.shape[0], rgb.shape[1]
     if chunk_fn is None:
-        chunk_fn = make_chunk_fn(model, flow_is_zero)
+        chunk_fn = make_chunk_fn(model, flow_is_zero, backend=backend)
     hidden = model.init_hidden(V)
     outs = []
     for t0 in range(0, T, chunk_size):
@@ -103,9 +118,11 @@ class Evaluator:
         chunk_size: int = 2048,
     ) -> Tuple[float, Dict]:
         rgb, flow, target, lengths, vids = pack_eval_batch(store)
+        backend = self.cfg.get("gru_backend", "scan")
         t_start = time.perf_counter()
         scores = streaming_scores(
-            model, params, rgb, flow, store.flow_is_zero, chunk_size=chunk_size
+            model, params, rgb, flow, store.flow_is_zero,
+            chunk_size=chunk_size, backend=backend,
         )
         jax.block_until_ready(scores)
         elapsed = time.perf_counter() - t_start
