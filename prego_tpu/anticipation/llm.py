@@ -113,6 +113,61 @@ class HFPipelineLLM:
         return flat
 
 
+@LLMS.register("ollama")
+class OllamaLLM:
+    """Ollama chat adapter (llm_ollama.py:76-145 parity) — talks to a local
+    Ollama server over raw HTTP (the ollama pip package is not required).
+    The reference's system message forcing a single-number answer is kept.
+    """
+
+    SYSTEM = (
+        "Always provide only the final output, consisting in one and only "
+        "one number. Never output anything different from a single number."
+    )
+
+    def __init__(self, model_name: str, host: str = "http://127.0.0.1:11434"):
+        self.model_name = model_name
+        self.host = host.rstrip("/")
+
+    def _chat(self, prompt: str, temperature: float, top_p: float, max_gen_len):
+        import json as _json
+        import urllib.request
+
+        body = _json.dumps(
+            {
+                "model": self.model_name,
+                "stream": False,
+                "messages": [
+                    {"role": "system", "content": self.SYSTEM},
+                    {"role": "user", "content": prompt},
+                ],
+                "options": {
+                    "temperature": temperature,
+                    "top_p": top_p,
+                    **({"num_predict": max_gen_len} if max_gen_len else {}),
+                },
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{self.host}/api/chat", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read())["message"]["content"]
+
+    def text_completion(
+        self,
+        prompts: List[str],
+        max_gen_len: Optional[int] = None,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+    ) -> List[Dict[str, str]]:
+        return [
+            {"generation": self._chat(p, temperature, top_p, max_gen_len)}
+            for p in prompts
+        ]
+
+
 @LLMS.register("jax-llama")
 class JaxLlamaLLM:
     """TPU-native LLaMA backend (replaces the vendored Meta runtime +

@@ -98,6 +98,45 @@ class WindowSampler:
             yield Batch(rgb, flow, tgt, valid, vids, starts, ends)
 
 
+class AnticipationWindowSampler(WindowSampler):
+    """Windows with future anticipation targets (THUMOS_ANTICIPATION
+    dataset parity, datasets/dataset.py:138-249): train windows stop
+    ``anticipation_length`` short of the video end so target[end:end+L]
+    exists; each batch carries ant_target (B, L, K)."""
+
+    def __init__(self, store: FeatureStore, window_size: int, stride: int,
+                 anticipation_length: int):
+        super().__init__(store, window_size, stride)
+        self.anticipation_length = anticipation_length
+
+    def resample(self, rng: Optional[np.random.Generator] = None) -> None:
+        rng = rng or np.random.default_rng()
+        self.windows = []
+        L = self.anticipation_length
+        for vi, vid in enumerate(self.store.vids):
+            T = self.store.length(vid)
+            offset = int(rng.integers(0, self.stride))
+            # reference: zip(range(seed, T, stride), range(seed+W, T-L, stride))
+            for start, end in zip(
+                range(offset, T, self.stride),
+                range(offset + self.window_size, T - L, self.stride),
+            ):
+                self.windows.append((vi, start))
+
+    def iter_batches(self, batch_size, shuffle=True, rng=None):
+        L = self.anticipation_length
+        for batch in super().iter_batches(batch_size, shuffle, rng):
+            K = self.store.num_classes
+            ant = np.zeros((batch_size, L, K), np.float32)
+            for j, vid in enumerate(batch.vids):
+                if not vid or batch.valid[j] == 0:
+                    continue
+                end = int(batch.ends[j])
+                ant[j] = self.store.target[vid][end : end + L]
+            batch.ant_target = ant  # attached; Batch stays lean for OAD
+            yield batch
+
+
 def pack_eval_batch(
     store: FeatureStore, vids: Optional[List[str]] = None, pad_to: Optional[int] = None
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[str]]:

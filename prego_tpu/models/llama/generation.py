@@ -43,7 +43,7 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "temperature", "top_p", "eos_id", "pad_id"),
+    static_argnames=("config", "temperature", "top_p", "eos_id", "pad_id", "want_logprobs"),
     donate_argnames=("cache",),
 )
 def _generate_jit(
@@ -58,7 +58,8 @@ def _generate_jit(
     top_p: float,
     eos_id: int,
     pad_id: int,
-) -> jax.Array:
+    want_logprobs: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
     rope = precompute_rope(config)
     B, buf_len = tokens.shape
     input_text_mask = tokens != pad_id
@@ -74,12 +75,22 @@ def _generate_jit(
         prefill_logits, jnp.full((B,), min_prompt_len - 1)
     )
 
+    logprobs = jnp.zeros((B, buf_len), jnp.float32)
+    if want_logprobs:
+        # prompt-token logprobs: position i+1 scored by logits at i
+        # (generation.py:180-186,199-203 cross-entropy form)
+        lp = jax.nn.log_softmax(prefill_logits[:, :-1], axis=-1)
+        gathered = jnp.take_along_axis(lp, tokens[:, 1:, None], axis=-1)[..., 0]
+        pos = jnp.arange(1, buf_len)[None, :]
+        in_prompt = (pos < min_prompt_len) & input_text_mask[:, 1:]
+        logprobs = logprobs.at[:, 1:].set(jnp.where(in_prompt, gathered, 0.0))
+
     def cond(state):
-        cur_pos, _, _, _, eos_reached, _ = state
+        cur_pos, _, _, _, _, eos_reached, _ = state
         return (cur_pos < total_len) & ~jnp.all(eos_reached)
 
     def body(state):
-        cur_pos, tokens, cache, last_logits, eos_reached, key = state
+        cur_pos, tokens, cache, last_logits, logprobs, eos_reached, key = state
         key, sub = jax.random.split(key)
         next_token = sample_next_token(last_logits, sub, temperature, top_p)
         # keep prompt tokens where the prompt is still running (gen.py:204-207)
@@ -91,23 +102,30 @@ def _generate_jit(
         # rows already done keep emitting pad so eos cut is stable
         next_token = jnp.where(eos_reached, jnp.int32(pad_id), next_token)
         tokens = jax.lax.dynamic_update_slice(tokens, next_token[:, None], (0, cur_pos))
+        if want_logprobs:
+            lp_t = jax.nn.log_softmax(last_logits, axis=-1)
+            val = jnp.take_along_axis(lp_t, next_token[:, None], axis=-1)[:, 0]
+            logprobs = jax.lax.dynamic_update_slice(
+                logprobs, val[:, None], (0, cur_pos)
+            )
         eos_reached = eos_reached | (~cur_mask & (next_token == eos_id))
 
         logits, cache = forward(
             params, next_token[:, None], cur_pos, cache, config, rope
         )
-        return (cur_pos + 1, tokens, cache, logits[:, 0], eos_reached, key)
+        return (cur_pos + 1, tokens, cache, logits[:, 0], logprobs, eos_reached, key)
 
     state = (
         min_prompt_len.astype(jnp.int32),
         tokens,
         cache,
         last_logits,
+        logprobs,
         jnp.zeros((B,), bool),
         key,
     )
-    _, tokens, _, _, _, _ = jax.lax.while_loop(cond, body, state)
-    return tokens
+    _, tokens, _, _, logprobs, _, _ = jax.lax.while_loop(cond, body, state)
+    return tokens, logprobs
 
 
 class Llama:
@@ -135,7 +153,8 @@ class Llama:
         temperature: float = 0.6,
         top_p: float = 0.9,
         echo: bool = False,
-    ) -> List[List[int]]:
+        logprobs: bool = False,
+    ) -> Tuple[List[List[int]], Optional[List[List[float]]]]:
         config = self.config
         bsz = len(prompt_tokens)
         if bsz > config.max_batch_size:
@@ -143,14 +162,16 @@ class Llama:
             # generation.py:160; the batched num_samples^2 dispatch makes
             # overflow easy to hit, so chunk instead)
             out: List[List[int]] = []
+            out_lp: List[List[float]] = []
             for i in range(0, bsz, config.max_batch_size):
-                out.extend(
-                    self.generate(
-                        prompt_tokens[i : i + config.max_batch_size],
-                        max_gen_len, temperature, top_p, echo,
-                    )
+                toks, lps = self.generate(
+                    prompt_tokens[i : i + config.max_batch_size],
+                    max_gen_len, temperature, top_p, echo, logprobs,
                 )
-            return out
+                out.extend(toks)
+                if logprobs:
+                    out_lp.extend(lps)
+            return out, (out_lp if logprobs else None)
         min_prompt_len = min(len(t) for t in prompt_tokens)
         max_prompt_len = max(len(t) for t in prompt_tokens)
         assert max_prompt_len <= config.max_seq_len
@@ -166,36 +187,42 @@ class Llama:
 
         if min_prompt_len == total_len:
             out = tokens  # nothing to generate (generation.py:179-186 edge)
+            lp = np.zeros_like(tokens, np.float32)
         else:
             cache = init_cache(config, bsz, dtype=self.params["norm"].dtype)
             self._key, key = jax.random.split(self._key)
-            out = np.asarray(
-                _generate_jit(
-                    self.params,
-                    jnp.asarray(tokens),
-                    jnp.int32(min_prompt_len),
-                    jnp.int32(total_len),
-                    cache,
-                    key,
-                    config=config,
-                    temperature=float(temperature),
-                    top_p=float(top_p),
-                    eos_id=int(self.tokenizer.eos_id),
-                    pad_id=int(pad_id),
-                )
+            out, lp = _generate_jit(
+                self.params,
+                jnp.asarray(tokens),
+                jnp.int32(min_prompt_len),
+                jnp.int32(total_len),
+                cache,
+                key,
+                config=config,
+                temperature=float(temperature),
+                top_p=float(top_p),
+                eos_id=int(self.tokenizer.eos_id),
+                pad_id=int(pad_id),
+                want_logprobs=logprobs,
             )
+            out, lp = np.asarray(out), np.asarray(lp)
 
-        out_tokens = []
+        out_tokens, out_logprobs = [], []
         for i, toks in enumerate(out.tolist()):
             start = 0 if echo else len(prompt_tokens[i])
-            toks = toks[start : len(prompt_tokens[i]) + max_gen_len]
+            stop = len(prompt_tokens[i]) + max_gen_len
+            toks = toks[start:stop]
+            probs = lp[i].tolist()[start:stop]
             # cut at pad (pure padding / post-eos fill), then at eos
             if pad_id in toks:
-                toks = toks[: toks.index(pad_id)]
+                cut = toks.index(pad_id)
+                toks, probs = toks[:cut], probs[:cut]
             if self.tokenizer.eos_id in toks:
-                toks = toks[: toks.index(self.tokenizer.eos_id)]
+                cut = toks.index(self.tokenizer.eos_id)
+                toks, probs = toks[:cut], probs[:cut]
             out_tokens.append(toks)
-        return out_tokens
+            out_logprobs.append(probs)
+        return out_tokens, (out_logprobs if logprobs else None)
 
     # -- reference seam --
 
@@ -205,13 +232,71 @@ class Llama:
         temperature: float = 0.6,
         top_p: float = 0.9,
         max_gen_len: Optional[int] = None,
+        logprobs: bool = False,
         echo: bool = False,
-    ) -> List[Dict[str, str]]:
+    ) -> List[Dict]:
         if max_gen_len is None:
             max_gen_len = self.config.max_seq_len - 1
         prompt_tokens = [self.tokenizer.encode(x, bos=True, eos=False) for x in prompts]
-        generation_tokens = self.generate(
+        generation_tokens, generation_logprobs = self.generate(
             prompt_tokens, max_gen_len=max_gen_len,
-            temperature=temperature, top_p=top_p, echo=echo,
+            temperature=temperature, top_p=top_p, echo=echo, logprobs=logprobs,
         )
+        if logprobs:
+            return [
+                {
+                    "generation": self.tokenizer.decode(t),
+                    "tokens": [self.tokenizer.decode([x]) for x in t],
+                    "logprobs": lp,
+                }
+                for t, lp in zip(generation_tokens, generation_logprobs)
+            ]
         return [{"generation": self.tokenizer.decode(t)} for t in generation_tokens]
+
+    def chat_completion(
+        self,
+        dialogs: List[List[Dict[str, str]]],
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+        max_gen_len: Optional[int] = None,
+    ) -> List[Dict]:
+        """LLaMA-2 chat format (generation.py:284-395): [INST]/<<SYS>> tag
+        assembly, system folded into the first user turn, per-exchange
+        bos/eos, final user turn left open for the assistant."""
+        B_INST, E_INST = "[INST]", "[/INST]"
+        B_SYS, E_SYS = "<<SYS>>\n", "\n<</SYS>>\n\n"
+        if max_gen_len is None:
+            max_gen_len = self.config.max_seq_len - 1
+        prompt_tokens = []
+        for dialog in dialogs:
+            if dialog[0]["role"] == "system":
+                dialog = [
+                    {
+                        "role": dialog[1]["role"],
+                        "content": B_SYS + dialog[0]["content"] + E_SYS + dialog[1]["content"],
+                    }
+                ] + dialog[2:]
+            assert all(m["role"] == "user" for m in dialog[::2]) and all(
+                m["role"] == "assistant" for m in dialog[1::2]
+            ), "roles must alternate user/assistant (optionally system first)"
+            toks: List[int] = []
+            for prompt, answer in zip(dialog[::2], dialog[1::2]):
+                toks += self.tokenizer.encode(
+                    f"{B_INST} {prompt['content'].strip()} {E_INST} "
+                    f"{answer['content'].strip()} ",
+                    bos=True,
+                    eos=True,
+                )
+            assert dialog[-1]["role"] == "user", "last message must be from user"
+            toks += self.tokenizer.encode(
+                f"{B_INST} {dialog[-1]['content'].strip()} {E_INST}", bos=True, eos=False
+            )
+            prompt_tokens.append(toks)
+        generation_tokens, _ = self.generate(
+            prompt_tokens, max_gen_len=max_gen_len,
+            temperature=temperature, top_p=top_p,
+        )
+        return [
+            {"generation": {"role": "assistant", "content": self.tokenizer.decode(t)}}
+            for t in generation_tokens
+        ]

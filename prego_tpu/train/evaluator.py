@@ -99,6 +99,68 @@ def streaming_scores(
     return np.concatenate(outs, axis=1)
 
 
+@EVALUATORS.register("ANTICIPATION")
+class AntEvaluator:
+    """ANT_Evaluate parity (trainer/eval.py:87-161): per-frame mAP for the
+    current step plus one mAP per anticipation offset; returns the mean
+    anticipation mAP."""
+
+    def __init__(self, cfg, class_names: List[str], logger=None):
+        self.cfg = cfg
+        self.class_names = class_names
+        self.metric = cfg["metric"]
+        self.anticipation_length = cfg["anticipation_length"]
+        self.logger = logger
+
+    def __call__(self, model, params, store: FeatureStore) -> Tuple[float, Dict]:
+        import jax.numpy as jnp
+
+        L = self.anticipation_length
+        fwd = jax.jit(
+            lambda p, r, f: model.forward_full(p, r, f, flow_is_zero=store.flow_is_zero)
+        )
+        pred_scores, gt_targets = [], []
+        ant_scores, ant_targets = [], []
+        for vid in store.vids:
+            T = store.length(vid)
+            end = T - L
+            rgb = jnp.asarray(store.rgb[vid][None, :end])
+            flow = jnp.asarray(store.flow[vid][None, :end])
+            scores, ant = fwd(params, rgb, flow)
+            pred_scores.append(np.asarray(scores[0]))
+            gt_targets.append(store.target[vid][:end])
+            ant_scores.append(np.asarray(ant[0]))  # (end, L, K)
+            tgt = store.target[vid]
+            ant_targets.append(
+                np.stack([tgt[s : s + L] for s in range(end)], axis=0)
+            )
+        pred_scores = np.concatenate(pred_scores)
+        gt_targets = np.concatenate(gt_targets)
+        ant_scores = np.concatenate(ant_scores)
+        ant_targets = np.concatenate(ant_targets)
+
+        result = perframe_average_precision(
+            pred_scores, gt_targets, self.class_names, None, self.metric
+        )
+        if self.logger is not None:
+            self.logger.info(f'OAD mAP: {result["mean_AP"] * 100:.2f}')
+        ant_maps = []
+        for step in range(L):
+            r = perframe_average_precision(
+                ant_scores[:, step, :], ant_targets[:, step, :],
+                self.class_names, None, self.metric,
+            )
+            result[f"anticipation_{step + 1}"] = r
+            ant_maps.append(r["mean_AP"])
+            if self.logger is not None:
+                self.logger.info(
+                    f"Anticipation at step {step + 1}: {r['mean_AP'] * 100:.2f}"
+                )
+        mean_ant = float(np.mean(ant_maps))
+        result["mean_anticipation_AP"] = mean_ant
+        return mean_ant, result
+
+
 @EVALUATORS.register("OAD")
 class Evaluator:
     def __init__(self, cfg, class_names: List[str], logger=None):
@@ -106,8 +168,13 @@ class Evaluator:
         self.class_names = class_names
         self.metric = cfg["metric"]
         self.logger = logger
-        # THUMOS postprocessing hook — None for the PREGO datasets (eval.py:20-22)
-        self.postprocessing = None
+        # THUMOS postprocessing; None for the PREGO datasets (eval.py:20-22)
+        if "THUMOS" in cfg["data_name"]:
+            from prego_tpu.metrics.postprocessing import thumos_postprocessing
+
+            self.postprocessing = thumos_postprocessing
+        else:
+            self.postprocessing = None
 
     def __call__(
         self,

@@ -33,3 +33,19 @@ def last_frame_mlce(
     if valid is None:
         return jnp.mean(per_example)
     return jnp.sum(per_example * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+@CRITERIONS.register("ANTICIPATION")
+def anticipation_mlce(
+    ant_logits: jax.Array,  # (B, L, K) last-frame anticipation logits
+    ant_target: jax.Array,  # (B, L, K)
+    valid: jax.Array | None = None,  # (B,)
+) -> jax.Array:
+    """OadAntLoss parity (criterions/loss.py:40-79): the same L2-normalized
+    -target CE over the flattened (B*L, K) anticipation logits, SUM-reduced
+    (the reference constructs OadAntLoss with reduction='sum')."""
+    logp = jax.nn.log_softmax(ant_logits, axis=-1)
+    per = jnp.sum(-l2_normalize(ant_target) * logp, axis=-1)  # (B, L)
+    if valid is not None:
+        per = per * valid[:, None]
+    return jnp.sum(per)

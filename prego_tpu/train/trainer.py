@@ -88,6 +88,67 @@ def make_train_step(
     )
 
 
+def make_ant_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    flow_is_zero: bool,
+    bf16: bool = False,
+):
+    """ANTICIPATION-task train step (trainer/train.py:31-54 +
+    criterions/loss.py:40-79): sum-reduced anticipation mlce on the last
+    window frame's predicted future steps."""
+    from prego_tpu.train.loss import anticipation_mlce
+
+    def loss_fn(params, rgb, flow, ant_target, valid, rng):
+        if bf16:
+            rgb = rgb.astype(jnp.bfloat16)
+            flow = flow.astype(jnp.bfloat16)
+        _, ant_logits = model.forward_train(
+            params, rgb, flow, rng, flow_is_zero=flow_is_zero
+        )
+        return anticipation_mlce(ant_logits.astype(jnp.float32), ant_target, valid)
+
+    def step(params, opt_state, rgb, flow, ant_target, valid, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, rgb, flow, ant_target, valid, rng
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+@TRAINERS.register("ANTICIPATION")
+def ant_train_one_epoch(
+    sampler,
+    model,
+    train_step,
+    params,
+    opt_state,
+    rng: jax.Array,
+    batch_size: int,
+    epoch: int,
+    np_rng: Optional[np.random.Generator] = None,
+    writer=None,
+    log_every: int = 50,
+    logger=None,
+):
+    epoch_loss, n_batches = 0.0, 0
+    for it, batch in enumerate(sampler.iter_batches(batch_size, shuffle=True, rng=np_rng)):
+        rng, drop_rng = jax.random.split(rng)
+        params, opt_state, loss = train_step(
+            params, opt_state,
+            jnp.asarray(batch.rgb), jnp.asarray(batch.flow),
+            jnp.asarray(batch.ant_target), jnp.asarray(batch.valid), drop_rng,
+        )
+        epoch_loss += float(loss)
+        n_batches += 1
+        if logger is not None and it % log_every == 0:
+            logger.info(f"epoch {epoch} it {it} ant loss {float(loss):.4f}")
+    return params, opt_state, rng, epoch_loss / max(n_batches, 1)
+
+
 @TRAINERS.register("OAD")
 def train_one_epoch(
     sampler: WindowSampler,

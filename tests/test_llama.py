@@ -135,7 +135,7 @@ def test_generate_greedy_matches_manual_loop(params_f32, rng):
     llama = Llama(params, tok, cfg)
 
     prompt = [5, 6, 7, 8]
-    out = llama.generate([prompt], max_gen_len=6, temperature=0.0)[0]
+    out = llama.generate([prompt], max_gen_len=6, temperature=0.0)[0][0]
 
     # manual greedy rollout through forward
     cache = init_cache(cfg, 1, dtype=jnp.float32)
@@ -166,11 +166,11 @@ def test_generate_unequal_prompts_keep_prompt_tokens(params_f32):
     llama = Llama(params, tok, cfg)
 
     short, long = [10, 11], [20, 21, 22, 23, 24, 25]
-    outs = llama.generate([short, long], max_gen_len=4, temperature=0.0, echo=True)
+    outs, _ = llama.generate([short, long], max_gen_len=4, temperature=0.0, echo=True)
     assert outs[0][: len(short)] == short
     assert outs[1][: len(long)] == long
     # batching must not change the longer prompt's own completion
-    solo = llama.generate([long], max_gen_len=4, temperature=0.0, echo=True)[0]
+    solo = llama.generate([long], max_gen_len=4, temperature=0.0, echo=True)[0][0]
     assert outs[1] == solo
 
 

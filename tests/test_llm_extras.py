@@ -1,0 +1,65 @@
+"""LLM runtime extras: logprobs, chat_completion format, postprocessing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prego_tpu.metrics.postprocessing import thumos_postprocessing
+from prego_tpu.models.llama import (
+    ByteTokenizer,
+    Llama,
+    forward,
+    init_cache,
+    init_params,
+    tiny_test_config,
+)
+
+
+def _tiny_llama(key=3):
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(key), dtype=jnp.float32)
+    return Llama(params, tok, cfg), params, cfg, tok
+
+
+def test_logprobs_match_forward():
+    llama, params, cfg, tok = _tiny_llama()
+    prompt = [5, 6, 7, 8]
+    toks, lps = llama.generate(
+        [prompt], max_gen_len=4, temperature=0.0, logprobs=True, echo=True
+    )
+    toks, lps = toks[0], lps[0]
+    assert len(toks) == len(lps)
+    # recompute: logprob of token at position i+1 from logits at i
+    cache = init_cache(cfg, 1, dtype=jnp.float32)
+    logits, _ = forward(params, jnp.asarray([toks]), jnp.int32(0), cache, cfg)
+    lp_full = np.asarray(jax.nn.log_softmax(logits[0], axis=-1))
+    for i in range(1, len(toks)):
+        np.testing.assert_allclose(lps[i], lp_full[i - 1, toks[i]], rtol=1e-4, atol=1e-5)
+    assert lps[0] == 0.0  # position 0 has no predictor
+
+
+def test_chat_completion_runs_and_formats():
+    llama, _, _, tok = _tiny_llama(4)
+    dialogs = [
+        [
+            {"role": "system", "content": "be terse"},
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"},
+            {"role": "user", "content": "next"},
+        ]
+    ]
+    out = llama.chat_completion(dialogs, temperature=0.0, max_gen_len=4)
+    assert out[0]["generation"]["role"] == "assistant"
+    assert isinstance(out[0]["generation"]["content"], str)
+
+
+def test_thumos_postprocessing_removes_ambiguous():
+    T, K = 10, 22
+    gt = np.zeros((T, K))
+    gt[3, 21] = 1  # ambiguous frame
+    gt[0, 2] = 1
+    pred = np.random.default_rng(0).uniform(0, 1, (T, K))
+    g2, p2 = thumos_postprocessing(gt, pred)
+    assert g2.shape[0] == T - 1
+    assert p2.shape[0] == T - 1
