@@ -1,0 +1,162 @@
+"""Native-backed recognition data source.
+
+Same semantics as prego_tpu.data.features.load_feature_store +
+WindowSampler (including the training zero-prefix, dataset.py:53-55, and
+zeroed-flow quirks, dataset.py:63-69) but backed by the C++ mmap feature
+store (prego_tpu/native): nothing is eagerly loaded, and training batches
+are assembled by the native thread pool straight from the OS page cache —
+replacing the reference's 4 DataLoader worker processes with in-process
+parallel memcpy. The zero prefix is virtual: window starts are shifted by
+-(window_size-1) and out-of-range rows are zero-filled by the gather
+kernel, so no padded copies are ever materialized.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from prego_tpu.data.features import (
+    CORRUPT_VIDEOS,
+    FEATURE_SIZES,
+    ZEROED_FLOW_TYPE,
+)
+from prego_tpu.data.windowing import Batch
+from prego_tpu.native import NativeFeatureStore
+
+
+class NativeRecognitionData:
+    """Lazy rgb/flow/target stores for one split."""
+
+    def __init__(
+        self,
+        root_path: str,
+        vids: List[str],
+        rgb_type: str,
+        flow_type: str,
+        annotation_type: str,
+        num_classes: int,
+        training: bool,
+        window_size: int,
+        n_threads: int = 4,
+        logger=None,
+    ):
+        vids = [v for v in vids if v not in CORRUPT_VIDEOS]
+        self.training = training
+        self.window_size = window_size
+        self.pad = window_size - 1 if training else 0
+        self.rgb_dim = FEATURE_SIZES[rgb_type]
+        self.flow_dim = FEATURE_SIZES[flow_type]
+        self.num_classes = num_classes
+        self.flow_is_zero = flow_type == ZEROED_FLOW_TYPE
+
+        rgb_paths = [osp.join(root_path, rgb_type, v + ".npy") for v in vids]
+        tgt_paths = [osp.join(root_path, annotation_type, v + ".npy") for v in vids]
+        if self.flow_is_zero:
+            flow_paths = None
+        else:
+            flow_paths = [
+                osp.join(
+                    root_path, flow_type, "assembly_optical_flow_BNInception",
+                    v, "assembling.npy",
+                )
+                for v in vids
+            ]
+
+        self._rgb = NativeFeatureStore(rgb_paths, n_threads)
+        self._tgt = NativeFeatureStore(tgt_paths, n_threads)
+        self._flow = NativeFeatureStore(flow_paths, n_threads) if flow_paths else None
+
+        ok = self._rgb.ok & self._tgt.ok
+        if self._flow is not None:
+            ok = ok & self._flow.ok
+        self.removed = int((~ok).sum())
+        if logger is not None and self.removed:
+            for v, good in zip(vids, ok):
+                if not good:
+                    logger.info(f"dropped video {v} (missing features)")
+        # keep index alignment with the native stores; skip bad slots
+        self.vids = [v for v, good in zip(vids, ok) if good]
+        self._indices = np.flatnonzero(ok).astype(np.int32)
+        self._lengths = {
+            v: self._tgt.dims(int(i))[0] + self.pad
+            for v, i in zip(self.vids, self._indices)
+        }
+
+    def length(self, vid: str) -> int:
+        """Video length including the virtual training prefix."""
+        return self._lengths[vid]
+
+    def gather(self, vid_order: np.ndarray, starts: np.ndarray, window: int):
+        """vid_order indexes into self.vids; starts are VIRTUAL (prefixed)."""
+        native_idx = self._indices[vid_order]
+        real_starts = starts - self.pad
+        rgb = self._rgb.gather_windows(native_idx, real_starts, window, self.rgb_dim)
+        tgt = self._tgt.gather_windows(native_idx, real_starts, window, self.num_classes)
+        if self._flow is not None:
+            flow = self._flow.gather_windows(native_idx, real_starts, window, self.flow_dim)
+        else:
+            flow = np.zeros((len(vid_order), window, self.flow_dim), np.float32)
+        return rgb, flow, tgt
+
+
+class NativeWindowSampler:
+    """Reference windowing semantics over the native store
+    (dataset.py:113-119: per-epoch random offset, strided windows)."""
+
+    def __init__(self, data: NativeRecognitionData, window_size: int, stride: int):
+        self.data = data
+        self.window_size = window_size
+        self.stride = stride
+        self.windows: List = []
+
+    def resample(self, rng: Optional[np.random.Generator] = None) -> None:
+        rng = rng or np.random.default_rng()
+        self.windows = []
+        for vi, vid in enumerate(self.data.vids):
+            T = self.data.length(vid)
+            offset = int(rng.integers(0, self.stride))
+            start = offset
+            while start + self.window_size <= T:
+                self.windows.append((vi, start))
+                start += self.stride
+
+    def __len__(self) -> int:
+        return len(self.windows)
+
+    def num_batches(self, batch_size: int) -> int:
+        return (len(self.windows) + batch_size - 1) // batch_size
+
+    def iter_batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        rng: Optional[np.random.Generator] = None,
+    ) -> Iterator[Batch]:
+        if not self.windows:
+            self.resample(rng)
+        order = np.arange(len(self.windows))
+        if shuffle:
+            (rng or np.random.default_rng()).shuffle(order)
+        W = self.window_size
+        win = np.asarray(self.windows, np.int64)
+        for b0 in range(0, len(order), batch_size):
+            idxs = order[b0 : b0 + batch_size]
+            n = len(idxs)
+            vid_order = win[idxs, 0]
+            starts = win[idxs, 1]
+            if n < batch_size:  # pad the trailing batch (masked in the loss)
+                vid_order = np.concatenate([vid_order, np.zeros(batch_size - n, np.int64)])
+                starts = np.concatenate(
+                    [starts, np.full(batch_size - n, -(10 ** 9), np.int64)]
+                )
+            rgb, flow, tgt = self.data.gather(vid_order, starts, W)
+            valid = np.zeros((batch_size,), np.float32)
+            valid[:n] = 1.0
+            vids = [self.data.vids[int(v)] for v in vid_order[:n]] + [""] * (batch_size - n)
+            yield Batch(
+                rgb, flow, tgt, valid, vids,
+                starts.astype(np.int64), (starts + W).astype(np.int64),
+            )

@@ -1,0 +1,85 @@
+"""Native data path parity: identical batches to the numpy FeatureStore
+path given the same RNG (zero-prefix, zeroed flow, window layout)."""
+
+import numpy as np
+import pytest
+
+from prego_tpu.data import WindowSampler, load_dataset_info, load_feature_store
+from prego_tpu.native import build_native_library, native_available
+from tests.synth import make_synth_dataset
+
+pytestmark = pytest.mark.skipif(
+    not (native_available() or build_native_library()),
+    reason="native library unavailable",
+)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("native_loader")
+    return make_synth_dataset(
+        str(root), num_train=3, num_test=2, num_classes=6, rgb_dim=1024,
+        flow_dim=2048, min_len=60, max_len=120, seed=9,
+        rgb_type="rgb_kinetics_bninception",
+    )
+
+
+def _make_pair(synth, training):
+    from prego_tpu.data.native_loader import NativeRecognitionData
+
+    data_root, vl_path, _, _ = synth
+    info = load_dataset_info(vl_path, "SYNTH")
+    vids = info.train_session_set if training else info.test_session_set
+    kwargs = dict(
+        rgb_type="rgb_kinetics_bninception",
+        flow_type="flow_anet_resnet50",
+        annotation_type="target_perframe",
+        num_classes=6,
+        training=training,
+        window_size=16,
+    )
+    numpy_store = load_feature_store(data_root, list(vids), **kwargs)
+    native_data = NativeRecognitionData(data_root, list(vids), **kwargs)
+    return numpy_store, native_data
+
+
+def test_lengths_match_padded(synth):
+    numpy_store, native_data = _make_pair(synth, training=True)
+    assert native_data.vids == numpy_store.vids
+    for v in numpy_store.vids:
+        assert native_data.length(v) == numpy_store.length(v)
+
+
+def test_batches_bitwise_equal(synth):
+    from prego_tpu.data.native_loader import NativeWindowSampler
+
+    numpy_store, native_data = _make_pair(synth, training=True)
+    s_np = WindowSampler(numpy_store, 16, 4)
+    s_nat = NativeWindowSampler(native_data, 16, 4)
+    s_np.resample(np.random.default_rng(5))
+    s_nat.resample(np.random.default_rng(5))
+    assert s_np.windows == s_nat.windows
+
+    batches_np = list(s_np.iter_batches(8, shuffle=True, rng=np.random.default_rng(7)))
+    batches_nat = list(s_nat.iter_batches(8, shuffle=True, rng=np.random.default_rng(7)))
+    assert len(batches_np) == len(batches_nat)
+    for a, b in zip(batches_np, batches_nat):
+        np.testing.assert_array_equal(a.rgb, b.rgb)
+        np.testing.assert_array_equal(a.flow, b.flow)  # both zeroed-flow
+        np.testing.assert_array_equal(a.target, b.target)
+        np.testing.assert_array_equal(a.valid, b.valid)
+        assert a.vids == b.vids
+
+
+def test_missing_video_dropped_native(synth):
+    from prego_tpu.data.native_loader import NativeRecognitionData
+
+    data_root, vl_path, train_vids, _ = synth
+    data = NativeRecognitionData(
+        data_root, list(train_vids) + ["ghost_video"],
+        rgb_type="rgb_kinetics_bninception", flow_type="flow_anet_resnet50",
+        annotation_type="target_perframe", num_classes=6,
+        training=True, window_size=16,
+    )
+    assert data.removed == 1
+    assert "ghost_video" not in data.vids
