@@ -43,6 +43,10 @@ def main(argv: Optional[List[str]] = None) -> float:
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = argparse.ArgumentParser(add_help=True)
     parser.add_argument("--config", type=str, required=True)
+    parser.add_argument(
+        "--resume", type=str, default=None,
+        help="checkpoint to resume training from (params+opt_state+epoch)",
+    )
     args, overrides = parser.parse_known_args(argv)
     cfg = RecognitionConfig.from_yaml(args.config, overrides)
 
@@ -93,6 +97,21 @@ def main(argv: Optional[List[str]] = None) -> float:
     optimizer = build_optimizer(cfg, schedule)
     params = model.init(root_key)
     opt_state = optimizer.init(params)
+    start_epoch = 1
+    rng = jax.random.fold_in(root_key, 1)
+    if args.resume:
+        from prego_tpu.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(args.resume)
+        params = ckpt["params"]
+        if ckpt["opt_state"] is not None:
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state), jax.tree.leaves(ckpt["opt_state"])
+            )
+        start_epoch = int(ckpt["epoch"]) + 1
+        if ckpt["rng"] is not None:
+            rng = jax.numpy.asarray(ckpt["rng"])
+        logger.info(f"resumed from {args.resume} at epoch {start_epoch}")
     train_step = make_train_step(
         model, optimizer, flow_is_zero=train_store.flow_is_zero, bf16=cfg.amp
     )
@@ -109,17 +128,27 @@ def main(argv: Optional[List[str]] = None) -> float:
     )
     logger.info(f"Output Path:{result_path}")
 
-    rng = jax.random.fold_in(root_key, 1)
+    writer = None
+    if cfg.tensorboard:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            writer = SummaryWriter(osp.join(result_path, "runs"))
+        except Exception as e:  # tensorboard optional
+            logger.info(f"tensorboard unavailable: {e}")
+
     best_mAP, best_epoch = 0.0, 0
     ckpt_path = osp.join(result_path, "ckpts", "best.ckpt")
-    for epoch in range(1, cfg.num_epoch + 1):
+    for epoch in range(start_epoch, cfg.num_epoch + 1):
         t0 = time.perf_counter()
         params, opt_state, rng, epoch_loss = train_one_epoch(
             sampler, model, train_step, params, opt_state, rng,
-            cfg.batch_size, epoch, np_rng=np_rng, logger=logger,
+            cfg.batch_size, epoch, np_rng=np_rng, logger=logger, writer=writer,
         )
         sampler.resample(np_rng)  # redraw window offsets (main.py:100)
         mAP, _ = evaluator(model, params, test_store)
+        if writer is not None:
+            writer.add_scalar("Eval mAP", mAP, epoch)
         logger.info(
             f"Epoch {epoch} mAP: {mAP * 100:.2f} | loss {epoch_loss:.4f} "
             f"| {time.perf_counter() - t0:.1f}s"
