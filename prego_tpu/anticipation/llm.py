@@ -185,7 +185,9 @@ class JaxLlamaLLM:
         max_batch_size: int = 8,
         tp: Optional[int] = None,
         dtype=None,
+        prefix_cache: bool = True,  # PREGO prompts share huge prefixes
     ):
+        self.prefix_cache = prefix_cache
         import jax.numpy as jnp
 
         from prego_tpu.checkpoint.convert import (
@@ -247,7 +249,8 @@ class JaxLlamaLLM:
         top_p: float = 0.9,
     ) -> List[Dict[str, str]]:
         return self.llama.text_completion(
-            prompts, temperature=temperature, top_p=top_p, max_gen_len=max_gen_len
+            prompts, temperature=temperature, top_p=top_p,
+            max_gen_len=max_gen_len, use_prefix_cache=self.prefix_cache,
         )
 
 

@@ -48,11 +48,13 @@ def _round_up(x: int, m: int) -> int:
 )
 def _generate_jit(
     params: Params,
-    tokens: jax.Array,  # (B, total_len) int32, pad-filled
-    min_prompt_len: jax.Array,  # scalar int32
-    total_len: jax.Array,  # scalar int32 (actual, <= buffer len)
+    tokens: jax.Array,  # (B, suffix_buf) int32, pad-filled — SUFFIX coords
+    min_prompt_len: jax.Array,  # scalar int32, suffix coords
+    total_len: jax.Array,  # scalar int32 (actual, <= buffer len), suffix coords
     cache: Cache,
     key: jax.Array,
+    start_offset: jax.Array,  # scalar int32 — absolute position of suffix[0];
+    #                           nonzero when resuming from a cached KV prefix
     config: LlamaConfig,
     temperature: float,
     top_p: float,
@@ -68,7 +70,7 @@ def _generate_jit(
     # (static buffer, masked: run forward over the full buffer prefix is
     # wasteful, so prefill over a static max and rely on bucketing instead)
     prefill_logits, cache = forward(
-        params, tokens, jnp.int32(0), cache, config, rope
+        params, tokens, start_offset, cache, config, rope
     )
     # logits at position min_prompt_len-1 predict the first generated token
     last_logits = jax.vmap(lambda l, i: l[i])(
@@ -111,7 +113,7 @@ def _generate_jit(
         eos_reached = eos_reached | (~cur_mask & (next_token == eos_id))
 
         logits, cache = forward(
-            params, next_token[:, None], cur_pos, cache, config, rope
+            params, next_token[:, None], start_offset + cur_pos, cache, config, rope
         )
         return (cur_pos + 1, tokens, cache, logits[:, 0], logprobs, eos_reached, key)
 
@@ -128,8 +130,31 @@ def _generate_jit(
     return tokens, logprobs
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnames=("cache",)
+)
+def _prefill_chunk(
+    params: Params,
+    tokens: jax.Array,  # (1, CHUNK)
+    start: jax.Array,
+    cache: Cache,
+    config: LlamaConfig,
+) -> Cache:
+    _, cache = forward(params, tokens, start, cache, config)
+    return cache
+
+
 class Llama:
-    """User-facing generation wrapper (Llama.build/text_completion parity)."""
+    """User-facing generation wrapper (Llama.build/text_completion parity).
+
+    Adds KV **prefix caching** on top of the reference surface: the PREGO
+    anticipation loop sends the same few-shot context hundreds of times per
+    video (llama_meta.py:118-174), so the shared prompt prefix is prefilled
+    once (B=1, fixed 64-token chunks -> bounded compiles) and decode resumes
+    from the cached KV at a traced start offset.
+    """
+
+    PREFIX_CHUNK = 64
 
     def __init__(
         self,
@@ -143,6 +168,8 @@ class Llama:
         self.config = config
         self.pad_to_multiple = pad_to_multiple
         self._key = jax.random.PRNGKey(1)  # seed parity: generation.py:95
+        self._prefix_key: Optional[Tuple[int, ...]] = None
+        self._prefix_cache: Optional[Cache] = None
 
     # -- low level --
 
@@ -198,6 +225,7 @@ class Llama:
                 jnp.int32(total_len),
                 cache,
                 key,
+                jnp.int32(0),
                 config=config,
                 temperature=float(temperature),
                 top_p=float(top_p),
@@ -224,6 +252,101 @@ class Llama:
             out_logprobs.append(probs)
         return out_tokens, (out_logprobs if logprobs else None)
 
+    # -- prefix-cached generation --
+
+    def _ensure_prefix_cache(self, prefix: Tuple[int, ...]) -> Cache:
+        if self._prefix_key != prefix:
+            cache = init_cache(self.config, 1, dtype=self.params["norm"].dtype)
+            buf = np.asarray(prefix, np.int32)
+            for i in range(0, len(prefix), self.PREFIX_CHUNK):
+                chunk = buf[i : i + self.PREFIX_CHUNK][None, :]
+                cache = _prefill_chunk(
+                    self.params, jnp.asarray(chunk), jnp.int32(i), cache,
+                    config=self.config,
+                )
+            self._prefix_key = prefix
+            self._prefix_cache = cache
+        return self._prefix_cache
+
+    def generate_with_prefix_cache(
+        self,
+        prompt_tokens: List[List[int]],
+        max_gen_len: int,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+    ) -> List[List[int]]:
+        """Generate completions reusing the KV of the batch-common prompt
+        prefix. Falls back to plain generate when the shareable prefix is
+        shorter than one chunk. Returns generated (non-echo) tokens."""
+        config = self.config
+        bsz = len(prompt_tokens)
+        if bsz > config.max_batch_size:
+            out: List[List[int]] = []
+            for i in range(0, bsz, config.max_batch_size):
+                out.extend(
+                    self.generate_with_prefix_cache(
+                        prompt_tokens[i : i + config.max_batch_size],
+                        max_gen_len, temperature, top_p,
+                    )
+                )
+            return out
+
+        common = min(len(t) for t in prompt_tokens)
+        first = prompt_tokens[0]
+        shared = 0
+        while shared < common and all(t[shared] == first[shared] for t in prompt_tokens):
+            shared += 1
+        # keep >= 1 prompt token in the suffix so prefill yields sampling logits
+        eff = ((min(shared, common - 1)) // self.PREFIX_CHUNK) * self.PREFIX_CHUNK
+        if eff < self.PREFIX_CHUNK:
+            return self.generate(prompt_tokens, max_gen_len, temperature, top_p)[0]
+
+        prefix = tuple(first[:eff])
+        cache1 = self._ensure_prefix_cache(prefix)
+
+        suffixes = [t[eff:] for t in prompt_tokens]
+        min_s = min(len(s) for s in suffixes)
+        max_s = max(len(s) for s in suffixes)
+        total_s = min(config.max_seq_len - eff, max_gen_len + max_s)
+        pad_id = self.tokenizer.pad_id
+        buf_len = min(
+            _round_up(total_s, self.pad_to_multiple), config.max_seq_len - eff
+        )
+        tokens = np.full((bsz, buf_len), pad_id, np.int32)
+        for i, s in enumerate(suffixes):
+            tokens[i, : len(s)] = np.asarray(s, np.int32)
+
+        # broadcast the B=1 prefix KV to the batch (decode writes per-row)
+        cache = jax.tree.map(
+            lambda x: jnp.repeat(x, bsz, axis=1), cache1
+        )
+        self._key, key = jax.random.split(self._key)
+        out, _ = _generate_jit(
+            self.params,
+            jnp.asarray(tokens),
+            jnp.int32(min_s),
+            jnp.int32(total_s),
+            cache,
+            key,
+            jnp.int32(eff),
+            config=config,
+            temperature=float(temperature),
+            top_p=float(top_p),
+            eos_id=int(self.tokenizer.eos_id),
+            pad_id=int(pad_id),
+        )
+        out = np.asarray(out)
+
+        out_tokens = []
+        for i, toks in enumerate(out.tolist()):
+            toks = toks[len(suffixes[i]) : len(suffixes[i]) + max_gen_len]
+            if pad_id in toks:
+                toks = toks[: toks.index(pad_id)]
+            if self.tokenizer.eos_id in toks:
+                toks = toks[: toks.index(self.tokenizer.eos_id)]
+            out_tokens.append(toks)
+        return out_tokens
+
     # -- reference seam --
 
     def text_completion(
@@ -234,10 +357,17 @@ class Llama:
         max_gen_len: Optional[int] = None,
         logprobs: bool = False,
         echo: bool = False,
+        use_prefix_cache: bool = False,
     ) -> List[Dict]:
         if max_gen_len is None:
             max_gen_len = self.config.max_seq_len - 1
         prompt_tokens = [self.tokenizer.encode(x, bos=True, eos=False) for x in prompts]
+        if use_prefix_cache and not logprobs and not echo:
+            generation_tokens = self.generate_with_prefix_cache(
+                prompt_tokens, max_gen_len=max_gen_len,
+                temperature=temperature, top_p=top_p,
+            )
+            return [{"generation": self.tokenizer.decode(t)} for t in generation_tokens]
         generation_tokens, generation_logprobs = self.generate(
             prompt_tokens, max_gen_len=max_gen_len,
             temperature=temperature, top_p=top_p, echo=echo, logprobs=logprobs,
