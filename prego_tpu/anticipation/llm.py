@@ -186,6 +186,7 @@ class JaxLlamaLLM:
         tp: Optional[int] = None,
         dtype=None,
         prefix_cache: bool = True,  # PREGO prompts share huge prefixes
+        orbax_dir: Optional[str] = None,  # sharded-format cache of converted weights
     ):
         self.prefix_cache = prefix_cache
         import jax.numpy as jnp
@@ -213,7 +214,17 @@ class JaxLlamaLLM:
                 max_batch_size=max_batch_size,
                 vocab_size=tokenizer.n_words,
             )
-            params = convert_meta_checkpoint(ckpt_dir, config, dtype)
+            params = None
+            if orbax_dir and osp.isdir(orbax_dir):
+                from prego_tpu.checkpoint.orbax_io import load_llama_params
+
+                params = load_llama_params(orbax_dir, config, dtype=dtype)
+            if params is None:
+                params = convert_meta_checkpoint(ckpt_dir, config, dtype)
+                if orbax_dir:
+                    from prego_tpu.checkpoint.orbax_io import save_llama_params
+
+                    save_llama_params(orbax_dir, params)
         else:  # HF-format directory (config.json + safetensors)
             import json as _json
 
