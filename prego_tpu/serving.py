@@ -1,0 +1,189 @@
+"""Online (strictly-causal, frame-by-frame) mistake-detection serving.
+
+PREGO is *defined* as online detection, but the reference runs offline in
+stages (full-video eval -> aggregate JSON -> anticipation script). This
+module is the live composition of the same three components, frame in ->
+verdict out, with identical math:
+
+  OnlineRecognizer  — jitted single-frame MiniROAD step with carried GRU
+                      state per stream (models/miniroad.py forward_step;
+                      equality with full-video eval is tested);
+  OnlineAggregator  — streaming TI-PREGO consensus: modal class per
+                      completed fixed window (200 frames, bincount
+                      tie-break parity), consecutive dedup — on window
+                      boundaries this equals utils/aggregate.py exactly;
+  OnlineMistakeDetector — when the aggregated step sequence grows, ask the
+                      LLM for the anticipated-next-step set from the
+                      history and flag the new step if absent
+                      (llama_meta.py:14-58 one-class rule).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prego_tpu.aggregate import WINDOW_SIZE
+from prego_tpu.anticipation.cleaning import clean_generation
+from prego_tpu.anticipation.llm import CompletionLLM
+from prego_tpu.anticipation.prompts import PromptBuilder
+from prego_tpu.models.miniroad import MiniROAD
+
+
+class OnlineRecognizer:
+    """Per-frame streaming step recognition over B concurrent streams."""
+
+    def __init__(self, model: MiniROAD, params, batch: int = 1, flow_is_zero: bool = True):
+        self.model = model
+        self.params = params
+        self.batch = batch
+        self.hidden = model.init_hidden(batch)
+        self._step = jax.jit(
+            lambda p, r, f, h: model.forward_step(p, r, f, h, flow_is_zero=flow_is_zero)
+        )
+
+    def step(self, rgb: np.ndarray, flow: Optional[np.ndarray] = None) -> np.ndarray:
+        """rgb: (B, D_rgb) one frame per stream -> argmax class ids (B,)."""
+        if flow is None:
+            flow = np.zeros((self.batch, self.model.flow_dim), np.float32)
+        scores, self.hidden = self._step(
+            self.params, jnp.asarray(rgb), jnp.asarray(flow), self.hidden
+        )
+        return np.argmax(np.asarray(scores), axis=-1)
+
+    def reset(self, stream: Optional[int] = None) -> None:
+        if stream is None:
+            self.hidden = self.model.init_hidden(self.batch)
+        else:
+            self.hidden = tuple(
+                h.at[stream].set(0.0) for h in self.hidden
+            )
+
+
+class OnlineAggregator:
+    """Streaming fixed-window majority vote + consecutive dedup."""
+
+    def __init__(self, num_classes: int, window_size: int = WINDOW_SIZE):
+        self.window_size = window_size
+        self.counts = np.zeros(num_classes, np.int64)
+        self.in_window = 0
+        self.sequence: List[int] = []
+
+    def push(self, class_id: int) -> Optional[int]:
+        """Feed one recognized frame. Returns a NEW aggregated step id when
+        a window completes and extends the deduped sequence, else None."""
+        self.counts[class_id] += 1
+        self.in_window += 1
+        if self.in_window < self.window_size:
+            return None
+        winner = int(np.argmax(self.counts))  # lowest id wins ties (parity)
+        self.counts[:] = 0
+        self.in_window = 0
+        if not self.sequence or self.sequence[-1] != winner:
+            self.sequence.append(winner)
+            return winner
+        return None
+
+    def flush(self) -> Optional[int]:
+        """Close a trailing partial window (end of stream)."""
+        if self.in_window == 0:
+            return None
+        winner = int(np.argmax(self.counts))
+        self.counts[:] = 0
+        self.in_window = 0
+        if not self.sequence or self.sequence[-1] != winner:
+            self.sequence.append(winner)
+            return winner
+        return None
+
+
+@dataclass
+class MistakeEvent:
+    frame_index: int
+    step: int
+    history: List[int]
+    anticipated: Set
+    is_mistake: bool
+
+
+class OnlineMistakeDetector:
+    """Frame in -> (optional) verdict out, single stream."""
+
+    def __init__(
+        self,
+        recognizer: OnlineRecognizer,
+        llm: CompletionLLM,
+        context: str = "",
+        toy: Optional[str] = None,
+        toy_class: Optional[str] = None,
+        type_prompt: str = "num",
+        prompt_context: str = "default",
+        num_samples: int = 1,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+        max_gen_len: Optional[int] = 8,
+        window_size: int = WINDOW_SIZE,
+        cleaning_mode: str = "meta",
+    ):
+        self.recognizer = recognizer
+        self.llm = llm
+        self.builder = PromptBuilder(
+            context=context, toy=toy, toy_class=toy_class,
+            type_prompt=type_prompt, prompt_context=prompt_context,
+        )
+        self.aggregator = OnlineAggregator(
+            recognizer.model.num_classes, window_size
+        )
+        self.num_samples = num_samples
+        self.temperature = temperature
+        self.top_p = top_p
+        self.max_gen_len = max_gen_len
+        self.cleaning_mode = cleaning_mode
+        self.frame_index = 0
+        self.events: List[MistakeEvent] = []
+
+    def _check_step(self, step: int) -> MistakeEvent:
+        seq = self.aggregator.sequence
+        i = len(seq) - 1  # the step being checked
+        prompt = self.builder.step_prompt(seq, i)
+        prompts = [prompt] * (self.num_samples * self.num_samples)
+        results = self.llm.text_completion(
+            prompts, max_gen_len=self.max_gen_len,
+            temperature=self.temperature, top_p=self.top_p,
+        )
+        anticipated = {
+            clean_generation(r["generation"], self.builder.type_prompt, self.cleaning_mode)
+            for r in results
+        }
+        event = MistakeEvent(
+            frame_index=self.frame_index,
+            step=step,
+            history=list(seq[:i]),
+            anticipated=anticipated,
+            is_mistake=step not in anticipated,
+        )
+        self.events.append(event)
+        return event
+
+    def push_frame(
+        self, rgb: np.ndarray, flow: Optional[np.ndarray] = None
+    ) -> Optional[MistakeEvent]:
+        """rgb: (D_rgb,) one frame. Returns a MistakeEvent when a new
+        aggregated step completes, else None."""
+        class_id = int(self.recognizer.step(rgb[None], None if flow is None else flow[None])[0])
+        self.frame_index += 1
+        new_step = self.aggregator.push(class_id)
+        if new_step is None:
+            return None
+        return self._check_step(new_step)
+
+    def finish(self) -> Optional[MistakeEvent]:
+        """Flush the trailing partial window at end of stream."""
+        new_step = self.aggregator.flush()
+        if new_step is None:
+            return None
+        return self._check_step(new_step)

@@ -93,6 +93,24 @@ def test_vs_reference_raw_artifact():
         assert ours[k]["changes_gt"] == ref["changes_gt"]
 
 
+@pytest.mark.skipif(
+    not (os.path.exists(REFERENCE_RAW) and os.path.exists(REFERENCE_AGG)),
+    reason="reference artifacts absent",
+)
+def test_byte_exact_golden_parity():
+    """Our aggregation of the shipped raw per-frame output reproduces the
+    reference's own shipped aggregated_data.json EXACTLY (15 Epic-tent
+    videos, all four fields)."""
+    with open(REFERENCE_RAW) as f:
+        raw = json.load(f)
+    with open(REFERENCE_AGG) as f:
+        gold = json.load(f)
+    ours = aggregate(raw)
+    for k in gold:
+        for field in ("pred", "gt", "changes_pred", "changes_gt"):
+            assert ours[k][field] == gold[k][field], (k, field)
+
+
 @pytest.mark.skipif(not os.path.exists(REFERENCE_AGG), reason="reference artifacts absent")
 def test_golden_schema_consistency():
     """Our output obeys the invariants visible in the shipped golden file."""

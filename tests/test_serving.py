@@ -1,0 +1,93 @@
+"""Online serving loop: streaming consensus parity with the offline
+aggregator, and the live frame->verdict mistake-detection path."""
+
+import jax
+import numpy as np
+
+from prego_tpu.aggregate import aggregate_video
+from prego_tpu.anticipation import FakeLLM
+from prego_tpu.core import RecognitionConfig
+from prego_tpu.models.miniroad import MiniROAD
+from prego_tpu.serving import OnlineAggregator, OnlineMistakeDetector, OnlineRecognizer
+
+CFG = RecognitionConfig.from_dict(
+    {
+        "rgb_type": "rgb_kinetics_bninception",
+        "flow_type": "flow_anet_resnet50",
+        "embedding_dim": 32,
+        "hidden_dim": 16,
+        "num_layers": 1,
+        "num_classes": 5,
+        "dropout": 0.0,
+    }
+)
+
+
+def test_streaming_aggregator_matches_offline(rng):
+    for _ in range(5):
+        n = int(rng.integers(50, 900))
+        preds = rng.integers(0, 6, n).tolist()
+        agg = OnlineAggregator(num_classes=6, window_size=200)
+        for p in preds:
+            agg.push(int(p))
+        agg.flush()
+        offline = aggregate_video(preds, preds)["pred"]
+        assert agg.sequence == offline
+
+
+def test_online_recognizer_matches_batch_eval(rng):
+    model = MiniROAD(CFG)
+    params = model.init(jax.random.PRNGKey(0))
+    T = 30
+    rgb = rng.normal(0, 1, (T, model.rgb_dim)).astype(np.float32)
+
+    rec = OnlineRecognizer(model, params, batch=1, flow_is_zero=True)
+    online_ids = [int(rec.step(rgb[t][None])[0]) for t in range(T)]
+
+    import jax.numpy as jnp
+
+    scores = model.forward_full(
+        params, jnp.asarray(rgb[None]), jnp.zeros((1, T, model.flow_dim)), flow_is_zero=True
+    )
+    offline_ids = np.argmax(np.asarray(scores[0]), axis=-1).tolist()
+    assert online_ids == offline_ids
+
+
+def test_online_detector_end_to_end(rng):
+    model = MiniROAD(CFG)
+    params = model.init(jax.random.PRNGKey(1))
+    rec = OnlineRecognizer(model, params, batch=1, flow_is_zero=True)
+    llm = FakeLLM()  # echoes the last history symbol
+    det = OnlineMistakeDetector(
+        rec, llm, context="", toy="t1", type_prompt="num",
+        window_size=10, temperature=0.0,
+    )
+    events = []
+    for t in range(45):
+        frame = rng.normal(0, 1, (model.rgb_dim,)).astype(np.float32)
+        ev = det.push_frame(frame)
+        if ev is not None:
+            events.append(ev)
+    tail = det.finish()
+    if tail is not None:
+        events.append(tail)
+    # 45 frames / window 10 -> 4 full windows + flush; events only on
+    # sequence EXTENSION (dedup), so count <= 5 but >= 1
+    assert 1 <= len(events) <= 5
+    for ev in events:
+        assert isinstance(ev.is_mistake, bool)
+        assert ev.step == det.aggregator.sequence[len(ev.history)]
+        assert isinstance(ev.anticipated, set) and ev.anticipated
+
+
+def test_recognizer_per_stream_reset(rng):
+    model = MiniROAD(CFG)
+    params = model.init(jax.random.PRNGKey(2))
+    rec = OnlineRecognizer(model, params, batch=2, flow_is_zero=True)
+    frames = rng.normal(0, 1, (6, 2, model.rgb_dim)).astype(np.float32)
+    for t in range(3):
+        rec.step(frames[t])
+    rec.reset(stream=0)  # stream 0 restarts; stream 1 keeps its state
+    h_after = np.asarray(rec.hidden[0])
+    assert np.all(h_after[0] == 0)
+    assert not np.all(h_after[1] == 0)
