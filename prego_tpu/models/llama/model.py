@@ -120,8 +120,9 @@ def _attention(
     start_pos: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
-    cache_k: jax.Array,
-    cache_v: jax.Array,
+    cache_k_all: jax.Array,  # (L, B, T, KV, hd) — full stacked cache
+    cache_v_all: jax.Array,
+    layer_idx: int,
     config: LlamaConfig,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     B, S, D = x.shape
@@ -138,13 +139,18 @@ def _attention(
     xq = apply_rope(xq, cos, sin)
     xk = apply_rope(xk, cos, sin)
 
-    # functional cache update at [.., start_pos:start_pos+S, ..]
-    cache_k = jax.lax.dynamic_update_slice(
-        cache_k, xk.astype(cache_k.dtype), (0, start_pos, 0, 0)
+    # functional cache update written straight into the STACKED buffer at
+    # (layer_idx, :, start_pos, ...) — a dynamic_update_slice chain XLA
+    # aliases in place when the cache is donated (re-stacking per-layer
+    # slices would copy the whole cache every decode step)
+    cache_k_all = jax.lax.dynamic_update_slice(
+        cache_k_all, xk[None].astype(cache_k_all.dtype), (layer_idx, 0, start_pos, 0, 0)
     )
-    cache_v = jax.lax.dynamic_update_slice(
-        cache_v, xv.astype(cache_v.dtype), (0, start_pos, 0, 0)
+    cache_v_all = jax.lax.dynamic_update_slice(
+        cache_v_all, xv[None].astype(cache_v_all.dtype), (layer_idx, 0, start_pos, 0, 0)
     )
+    cache_k = cache_k_all[layer_idx]
+    cache_v = cache_v_all[layer_idx]
 
     # GQA: group query heads over kv heads; score against the full cache
     # with a causal+validity mask (static shapes; see module docstring)
@@ -166,8 +172,8 @@ def _attention(
     out = out.reshape(B, S, H * hd)
     return (
         jnp.dot(out, p["wo"], preferred_element_type=jnp.float32).astype(x.dtype),
-        cache_k,
-        cache_v,
+        cache_k_all,
+        cache_v_all,
     )
 
 
@@ -197,20 +203,19 @@ def forward(
 
     h = jnp.take(params["tok_embeddings"], tokens, axis=0)
 
-    new_k, new_v = [], []
+    cache_k_all, cache_v_all = cache["k"], cache["v"]
     for i, layer in enumerate(params["layers"]):
-        attn_out, ck, cv = _attention(
+        attn_out, cache_k_all, cache_v_all = _attention(
             layer["attention"],
             rms_norm(h, layer["attention_norm"], config.norm_eps),
             start_pos,
             cos,
             sin,
-            cache["k"][i],
-            cache["v"][i],
+            cache_k_all,
+            cache_v_all,
+            i,
             config,
         )
-        new_k.append(ck)
-        new_v.append(cv)
         h = h + attn_out
         h = h + _feed_forward(
             layer["feed_forward"], rms_norm(h, layer["ffn_norm"], config.norm_eps)
@@ -218,4 +223,4 @@ def forward(
 
     h = rms_norm(h, params["norm"], config.norm_eps)
     logits = jnp.dot(h, params["output"], preferred_element_type=jnp.float32)
-    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return logits, {"k": cache_k_all, "v": cache_v_all}

@@ -48,10 +48,25 @@ def llama_cache_specs(tp_axis: str = "tp") -> Dict[str, P]:
     return {"k": spec, "v": spec}
 
 
+def _compatible_spec(shape, spec: P, mesh: Mesh) -> P:
+    """Drop sharding on dims the array size doesn't divide (e.g. an odd
+    vocab size under the tp axis) — those dims are replicated instead."""
+    fixed = []
+    for i, axis in enumerate(spec):
+        if axis is None:
+            fixed.append(None)
+            continue
+        size = mesh.shape[axis] if isinstance(axis, str) else 1
+        fixed.append(axis if (i < len(shape) and shape[i] % size == 0) else None)
+    return P(*fixed)
+
+
 def shard_params(params, specs, mesh: Mesh):
     """device_put the pytree with NamedShardings from a matching spec tree."""
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, _compatible_spec(x.shape, s, mesh))
+        ),
         params,
         specs,
         is_leaf=lambda x: isinstance(x, P),

@@ -206,3 +206,20 @@ def test_tp_sharded_forward_matches_single(params_f32, rng):
     np.testing.assert_allclose(
         np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
     )
+
+
+def test_tp_sharded_generate_matches_single(params_f32):
+    """End-to-end jitted generation under 8-way TP == single-device (greedy)."""
+    from prego_tpu.models.llama import ByteTokenizer, Llama
+    from prego_tpu.parallel import llama_param_specs, shard_params, tp_mesh
+
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(21), dtype=jnp.float32)
+    prompts = [[7, 8, 9], [11, 12, 13, 14, 15]]
+
+    single = Llama(params, tok, cfg).generate(prompts, max_gen_len=6, temperature=0.0)[0]
+    mesh = tp_mesh(8)
+    sharded = shard_params(params, llama_param_specs(cfg), mesh)
+    tp_out = Llama(sharded, tok, cfg).generate(prompts, max_gen_len=6, temperature=0.0)[0]
+    assert tp_out == single
