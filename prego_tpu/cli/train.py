@@ -82,8 +82,33 @@ def main(argv: Optional[List[str]] = None) -> float:
         logger.info(f"per-frame predictions exported to {export}")
         return mAP
 
-    train_store = load_feature_store(vids=info.train_session_set, training=True, **common)
-    sampler = WindowSampler(train_store, cfg.window_size, cfg.stride)
+    data_backend = cfg.get("data_backend", "numpy")
+    if data_backend == "native":
+        from prego_tpu.data.native_loader import (
+            NativeRecognitionData,
+            NativeWindowSampler,
+        )
+        from prego_tpu.native import build_native_library, native_available
+
+        if not (native_available() or build_native_library()):
+            raise SystemExit(
+                "data_backend=native requires libprego_native.so "
+                "(make -C prego_tpu/native)"
+            )
+        native_common = {k: v for k, v in common.items()}
+        train_data = NativeRecognitionData(
+            root_path=native_common.pop("root_path"),
+            vids=info.train_session_set,
+            training=True,
+            **native_common,
+        )
+        train_store = train_data  # exposes flow_is_zero like FeatureStore
+        sampler = NativeWindowSampler(train_data, cfg.window_size, cfg.stride)
+    else:
+        train_store = load_feature_store(
+            vids=info.train_session_set, training=True, **common
+        )
+        sampler = WindowSampler(train_store, cfg.window_size, cfg.stride)
     np_rng = np.random.default_rng(cfg.seed)
     sampler.resample(np_rng)
 
