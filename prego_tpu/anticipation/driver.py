@@ -26,7 +26,7 @@ import json
 import os
 import pickle
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Set
+from typing import Dict, List, Optional, Sequence, Set
 
 from prego_tpu.anticipation.cleaning import clean_generation
 from prego_tpu.anticipation.llm import CompletionLLM

@@ -16,7 +16,7 @@ Accuracy 0.676, Precision 0.757, Recall 0.740, F1 0.748
 
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 

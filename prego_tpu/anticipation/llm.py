@@ -17,7 +17,7 @@ stripped, matching Llama.text_completion output.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Protocol, Sequence
+from typing import Callable, Dict, List, Optional, Protocol
 
 from prego_tpu.core.registry import LLMS
 

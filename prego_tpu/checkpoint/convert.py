@@ -17,10 +17,8 @@ so our paired-rotation RoPE (models/llama/model.py apply_rope) is correct.
 from __future__ import annotations
 
 import gc
-import json
-import os.path as osp
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -14,7 +14,7 @@ Usage:
 from __future__ import annotations
 
 import os.path as osp
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

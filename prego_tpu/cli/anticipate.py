@@ -21,7 +21,6 @@ import argparse
 import json
 import os.path as osp
 import pickle
-import sys
 from typing import List, Optional
 
 from prego_tpu.anticipation import build_llm, run_anticipation, save_results

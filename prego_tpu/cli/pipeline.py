@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import json
 import os.path as osp
-import sys
 from typing import List, Optional
 
 from prego_tpu.aggregate import aggregate

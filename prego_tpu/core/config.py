@@ -78,9 +78,6 @@ class RecognitionConfig:
     seed: int = 20
     eval_output_dir: str = "output_miniRoad"  # reference hardcodes this dir
     eval_output_name: str = "output_miniROAD.json"
-    # 'reference' = per-epoch host RNG windowing like dataset.py:113-119;
-    # 'fixed' = deterministic offset (tests)
-    window_offset_mode: str = "reference"
 
     extras: Dict[str, Any] = field(default_factory=dict)
 

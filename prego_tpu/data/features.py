@@ -28,8 +28,8 @@ to device per batch (full-video eval streams through a scan kernel instead).
 from __future__ import annotations
 
 import os.path as osp
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -8,10 +8,9 @@ absent, so the native engine is an acceleration, not a dependency.
 from __future__ import annotations
 
 import ctypes
-import os
 import os.path as osp
 import subprocess
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -14,8 +14,6 @@ scaling hook for much longer in-context prompt libraries.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -20,8 +20,8 @@ verdict out, with identical math:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Set
+from dataclasses import dataclass
+from typing import List, Optional, Set
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ reference's batch-1 eval exactly; padded frames are sliced off on host.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time

@@ -17,8 +17,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from prego_tpu.core.registry import TRAINERS
-from prego_tpu.data.windowing import Batch, WindowSampler
+from prego_tpu.data.windowing import WindowSampler
 from prego_tpu.models.miniroad import MiniROAD
 from prego_tpu.train.loss import last_frame_mlce
 
