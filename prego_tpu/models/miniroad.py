@@ -136,6 +136,10 @@ class MiniROAD:
                 from prego_tpu.ops.gru_pallas import gru_pallas
 
                 h, _ = gru_pallas(h, h0, layer_params, stream_dtype=jnp.bfloat16)
+            elif backend == "pallas_train":
+                from prego_tpu.ops.gru_pallas_vjp import gru_trainable
+
+                h, _ = gru_trainable(h, h0, layer_params, 8, 64, False, jnp.bfloat16)
             else:
                 h, _ = gru_scan(h, h0, layer_params, unroll=unroll)
         return h
@@ -153,17 +157,19 @@ class MiniROAD:
         flow: jax.Array,
         dropout_rng: jax.Array,
         flow_is_zero: bool = False,
+        backend: str = "scan",
     ) -> jax.Array:
         """Training forward on windows. Returns last-frame logits (B, K).
 
         The reference computes logits for every frame and the NONUNIFORM
         loss then keeps only the last (loss.py:15-22); computing the
         classifier on the last hidden state alone is identical.
+        backend='pallas_train' uses the fused custom-VJP recurrence.
         """
         x = self._embed(
             params, rgb, flow, flow_is_zero=flow_is_zero, train=True, dropout_rng=dropout_rng
         )
-        h = self._run_gru(params, x)
+        h = self._run_gru(params, x, backend=backend)
         return self._classify(params, h[:, -1, :])
 
     def forward_full(

@@ -46,18 +46,23 @@ def make_train_step(
     flow_is_zero: bool,
     bf16: bool = False,
     mesh: Optional[Mesh] = None,
+    gru_backend: str = "scan",
 ):
     """Build the jitted train step.
 
     Signature: (params, opt_state, rgb, flow, target_last, valid, rng)
              -> (params, opt_state, loss)
+    gru_backend='pallas_train' uses the fused custom-VJP recurrence
+    (ops/gru_pallas_vjp.py).
     """
 
     def loss_fn(params, rgb, flow, target_last, valid, rng):
         if bf16:
             rgb = rgb.astype(jnp.bfloat16)
             flow = flow.astype(jnp.bfloat16)
-        logits = model.forward_train(params, rgb, flow, rng, flow_is_zero=flow_is_zero)
+        logits = model.forward_train(
+            params, rgb, flow, rng, flow_is_zero=flow_is_zero, backend=gru_backend
+        )
         return last_frame_mlce(logits.astype(jnp.float32), target_last, valid)
 
     def step(params, opt_state, rgb, flow, target_last, valid, rng):
