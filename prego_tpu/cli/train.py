@@ -29,7 +29,7 @@ import numpy as np
 from prego_tpu.checkpoint import load_params, save_checkpoint
 from prego_tpu.core import RecognitionConfig, create_outdir, get_logger, set_seed
 from prego_tpu.data import WindowSampler, load_dataset_info, load_feature_store
-from prego_tpu.models.miniroad import MiniROAD
+import prego_tpu.models  # noqa: F401 — populates the MODELS registry
 from prego_tpu.train import (
     Evaluator,
     build_optimizer,
@@ -71,7 +71,9 @@ def main(argv: Optional[List[str]] = None) -> float:
         logger=logger,
     )
     test_store = load_feature_store(vids=info.test_session_set, training=False, **common)
-    model = MiniROAD(cfg)
+    from prego_tpu.core.registry import MODELS
+
+    model = MODELS.get(cfg.model)(cfg)
     evaluator = Evaluator(cfg, info.class_index, logger=logger)
 
     if cfg.eval is not None:

@@ -186,10 +186,18 @@ class Evaluator:
         rgb, flow, target, lengths, vids = pack_eval_batch(store)
         backend = self.cfg.get("gru_backend", "scan")
         t_start = time.perf_counter()
-        scores = streaming_scores(
-            model, params, rgb, flow, store.flow_is_zero,
-            chunk_size=chunk_size, backend=backend,
-        )
+        if hasattr(model, "init_hidden"):  # recurrent: chunked carried-state path
+            scores = streaming_scores(
+                model, params, rgb, flow, store.flow_is_zero,
+                chunk_size=chunk_size, backend=backend,
+            )
+        else:  # windowed models (Transformer) chunk internally per frame
+            scores = np.asarray(
+                model.forward_full(
+                    params, jnp.asarray(rgb), jnp.asarray(flow),
+                    flow_is_zero=store.flow_is_zero,
+                )
+            )
         jax.block_until_ready(scores)
         elapsed = time.perf_counter() - t_start
 
