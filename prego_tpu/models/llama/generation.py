@@ -317,9 +317,7 @@ class Llama:
             tokens[i, : len(s)] = np.asarray(s, np.int32)
 
         # broadcast the B=1 prefix KV to the batch (decode writes per-row)
-        cache = jax.tree.map(
-            lambda x: jnp.repeat(x, bsz, axis=1), cache1
-        )
+        cache = jax.tree.map(lambda x: jnp.repeat(x, bsz, axis=0), cache1)
         self._key, key = jax.random.split(self._key)
         out, _ = _generate_jit(
             self.params,

@@ -76,8 +76,17 @@ def init_params(
 
 
 def init_cache(config: LlamaConfig, batch: int, dtype=jnp.bfloat16) -> Cache:
-    shape = (config.n_layers, batch, config.max_seq_len, config.kv_heads, config.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    """Per-layer K/V arrays kept as SEPARATE pytree leaves: a stacked
+    (L, ...) cache forces a materializing slice per layer per decode step
+    (profiled at ~2k copy ops per short generation); separate leaves let
+    the while_loop alias every update in place. Layout is head-major
+    (B, KV, T, hd) so the flash-decode kernel can index heads on untiled
+    leading dims."""
+    shape = (batch, config.kv_heads, config.max_seq_len, config.head_dim)
+    return {
+        "k": [jnp.zeros(shape, dtype) for _ in range(config.n_layers)],
+        "v": [jnp.zeros(shape, dtype) for _ in range(config.n_layers)],
+    }
 
 
 # ---- building blocks ----
@@ -119,10 +128,10 @@ def _attention(
     start_pos: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
-    cache_k_all: jax.Array,  # (L, B, T, KV, hd) — full stacked cache
-    cache_v_all: jax.Array,
-    layer_idx: int,
+    cache_k: jax.Array,  # (B, KV, T, hd) — THIS layer's cache leaf
+    cache_v: jax.Array,
     config: LlamaConfig,
+    use_flash_decode: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     B, S, D = x.shape
     H, KV, hd = config.n_heads, config.kv_heads, config.head_dim
@@ -138,41 +147,60 @@ def _attention(
     xq = apply_rope(xq, cos, sin)
     xk = apply_rope(xk, cos, sin)
 
-    # functional cache update written straight into the STACKED buffer at
-    # (layer_idx, :, start_pos, ...) — a dynamic_update_slice chain XLA
-    # aliases in place when the cache is donated (re-stacking per-layer
-    # slices would copy the whole cache every decode step)
-    cache_k_all = jax.lax.dynamic_update_slice(
-        cache_k_all, xk[None].astype(cache_k_all.dtype), (layer_idx, 0, start_pos, 0, 0)
+    # functional cache update at [:, :, start_pos:start_pos+S] of the
+    # layer's own head-major (B, KV, T, hd) leaf — aliasable in place by
+    # the while_loop carry
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, jnp.swapaxes(xk, 1, 2).astype(cache_k.dtype), (0, 0, start_pos, 0)
     )
-    cache_v_all = jax.lax.dynamic_update_slice(
-        cache_v_all, xv[None].astype(cache_v_all.dtype), (layer_idx, 0, start_pos, 0, 0)
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, jnp.swapaxes(xv, 1, 2).astype(cache_v.dtype), (0, 0, start_pos, 0)
     )
-    cache_k = cache_k_all[layer_idx]
-    cache_v = cache_v_all[layer_idx]
 
-    # GQA: group query heads over kv heads; score against the full cache
-    # with a causal+validity mask (static shapes; see module docstring)
-    T = cache_k.shape[1]
+    T = cache_k.shape[2]
     q = xq.reshape(B, S, KV, H // KV, hd)
-    scores = jnp.einsum(
-        "bsgrh,btgh->bgrst", q, cache_k, preferred_element_type=jnp.float32
-    ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
 
-    q_pos = start_pos + jnp.arange(S)[:, None]  # (S, 1) absolute positions
-    k_pos = jnp.arange(T)[None, :]  # (1, T)
-    mask = k_pos <= q_pos  # causal over cache
-    scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    if S == 1 and use_flash_decode and _flash_decode_supported(config):
+        # single-token decode: fused streaming-softmax Pallas kernel
+        # (ops/decode_attention.py) — XLA lowers this contraction to a slow
+        # VPU multiply-reduce (~5x off the K/V bandwidth floor)
+        from prego_tpu.ops.decode_attention import decode_attention
 
-    out = jnp.einsum(
-        "bgrst,btgh->bsgrh", probs, cache_v, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
-    out = out.reshape(B, S, H * hd)
+        out = decode_attention(
+            q[:, 0], cache_k, cache_v, start_pos + 1
+        )  # (B, KV, R, hd)
+        out = out.reshape(B, 1, H * hd).astype(x.dtype)
+    else:
+        # GQA against the full cache with a causal+validity mask
+        # (static shapes; see module docstring)
+        scores = jnp.einsum(
+            "bsgrh,bgth->bgrst", q, cache_k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+
+        q_pos = start_pos + jnp.arange(S)[:, None]  # (S, 1) absolute positions
+        k_pos = jnp.arange(T)[None, :]  # (1, T)
+        mask = k_pos <= q_pos  # causal over cache
+        scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+
+        out = jnp.einsum(
+            "bgrst,bgth->bsgrh", probs, cache_v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = out.reshape(B, S, H * hd)
     return (
         jnp.dot(out, p["wo"], preferred_element_type=jnp.float32).astype(x.dtype),
-        cache_k_all,
-        cache_v_all,
+        cache_k,
+        cache_v,
+    )
+
+
+def _flash_decode_supported(config: LlamaConfig) -> bool:
+    import jax as _jax
+
+    return (
+        config.head_dim % 128 == 0
+        and config.max_seq_len % 256 == 0
+        and _jax.default_backend() == "tpu"
     )
 
 
@@ -202,17 +230,17 @@ def forward(
 
     h = jnp.take(params["tok_embeddings"], tokens, axis=0)
 
-    cache_k_all, cache_v_all = cache["k"], cache["v"]
+    new_k = list(cache["k"])
+    new_v = list(cache["v"])
     for i, layer in enumerate(params["layers"]):
-        attn_out, cache_k_all, cache_v_all = _attention(
+        attn_out, new_k[i], new_v[i] = _attention(
             layer["attention"],
             rms_norm(h, layer["attention_norm"], config.norm_eps),
             start_pos,
             cos,
             sin,
-            cache_k_all,
-            cache_v_all,
-            i,
+            new_k[i],
+            new_v[i],
             config,
         )
         h = h + attn_out
@@ -222,4 +250,4 @@ def forward(
 
     h = rms_norm(h, params["norm"], config.norm_eps)
     logits = jnp.dot(h, params["output"], preferred_element_type=jnp.float32)
-    return logits, {"k": cache_k_all, "v": cache_v_all}
+    return logits, {"k": new_k, "v": new_v}

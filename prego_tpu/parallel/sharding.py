@@ -43,9 +43,12 @@ def llama_param_specs(config: LlamaConfig, tp_axis: str = "tp") -> Dict[str, Any
     }
 
 
-def llama_cache_specs(tp_axis: str = "tp") -> Dict[str, P]:
-    spec = P(None, None, None, tp_axis, None)  # (layer, B, T, kv_heads, hd)
-    return {"k": spec, "v": spec}
+def llama_cache_specs(config: LlamaConfig, tp_axis: str = "tp") -> Dict[str, Any]:
+    spec = P(None, tp_axis, None, None)  # per-layer (B, kv_heads, T, hd) leaves
+    return {
+        "k": [spec for _ in range(config.n_layers)],
+        "v": [spec for _ in range(config.n_layers)],
+    }
 
 
 def _compatible_spec(shape, spec: P, mesh: Mesh) -> P:

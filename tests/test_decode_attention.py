@@ -1,0 +1,51 @@
+"""Flash-decode attention kernel vs the XLA reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prego_tpu.ops.decode_attention import (
+    decode_attention,
+    decode_attention_reference,
+)
+
+
+@pytest.mark.parametrize("valid", [1, 100, 511, 512])
+@pytest.mark.parametrize("R", [1, 2])
+def test_matches_reference(rng, valid, R):
+    B, KV, hd, T = 2, 4, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    # positions >= valid are garbage and must not leak
+    k[:, :, valid:] = 1e4
+    v[:, :, valid:] = -1e4
+
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid)
+    )
+    got = decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
+        t_block=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_online_softmax_across_blocks(rng):
+    """valid span crossing multiple T blocks exercises the m/l carry."""
+    B, KV, R, hd, T = 1, 2, 1, 128, 1024
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    for valid in (257, 700, 1024):
+        ref = decode_attention_reference(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid)
+        )
+        got = decode_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
+            t_block=256, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
