@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Set
 
@@ -40,6 +41,7 @@ class AnticipationResult:
     gts: Dict[str, List] = field(default_factory=dict)
     out_plot: Dict[int, Dict[str, int]] = field(default_factory=dict)
     metrics: Optional[Dict[str, float]] = None
+    llm_latencies: List[float] = field(default_factory=list)  # sec per call
 
 
 def anticipate_sequence(
@@ -54,6 +56,8 @@ def anticipate_sequence(
     batch_mode: str = "batched",
     out_plot: Optional[Dict[int, Dict[str, int]]] = None,
     verbose: bool = False,
+    latencies: Optional[List[float]] = None,  # per-LLM-call wall time (TIME_CNT
+    #                                           parity, llm_hf.py:21,47-49)
 ):
     """Anticipate every step of one video's sequence. Returns (preds, gts)."""
     preds: List[Set] = []
@@ -72,9 +76,12 @@ def anticipate_sequence(
 
         pred: Set = set()
         for prompts in batches:
+            t_call = time.perf_counter()
             results = llm.text_completion(
                 prompts, max_gen_len=max_gen_len, temperature=temperature, top_p=top_p
             )
+            if latencies is not None:
+                latencies.append(time.perf_counter() - t_call)
             for res in results:
                 v = clean_generation(res["generation"], builder.type_prompt, cleaning_mode)
                 if out_plot is not None:
@@ -119,11 +126,29 @@ def run_anticipation(
     eval_metrics: bool = True,
     verbose: bool = False,
     logger=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 10,
 ) -> AnticipationResult:
-    """Anticipate + detect mistakes over all videos (llama_meta.py:299-350)."""
+    """Anticipate + detect mistakes over all videos (llama_meta.py:299-350).
+
+    Unlike the reference — which pickles results only at the very end, so a
+    crash mid-run loses everything (SURVEY.md §5) — pass ``checkpoint_path``
+    to persist partial preds/gts every ``checkpoint_every`` videos and
+    resume: already-finished videos are skipped on restart.
+    """
     result = AnticipationResult()
     contexts = contexts or {}
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        with open(checkpoint_path, "rb") as f:
+            saved = pickle.load(f)
+        result.preds.update(saved["preds"])
+        result.gts.update(saved["gts"])
+        result.out_plot.update(saved.get("out_plot", {}))
+        if logger is not None:
+            logger.info(f"resuming anticipation: {len(result.preds)} videos done")
     for i, (k, v) in enumerate(seqs.items()):
+        if k in result.preds:  # already done in a previous (crashed) run
+            continue
         if dataset == "assembly":
             toy = get_toy(k)
             if toy_class_context:
@@ -155,9 +180,18 @@ def run_anticipation(
             max_gen_len=max_gen_len, temperature=temperature, top_p=top_p,
             num_samples=num_samples, cleaning_mode=cleaning_mode,
             batch_mode=batch_mode, out_plot=result.out_plot, verbose=verbose,
+            latencies=result.llm_latencies,
         )
         result.preds[k] = preds
         result.gts[k] = gts
+        if checkpoint_path is not None and (len(result.preds) % checkpoint_every == 0):
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(
+                    {"preds": result.preds, "gts": result.gts, "out_plot": result.out_plot},
+                    f,
+                )
+            os.replace(tmp, checkpoint_path)
 
     if eval_metrics:
         result.metrics = get_metrics(result.preds, result.gts)
@@ -168,6 +202,11 @@ def run_anticipation(
                     m["accuracy"], m["precision"], m["recall"], m["f1"]
                 )
             )
+            if result.llm_latencies:
+                logger.info(
+                    f"Average LLM call time: "
+                    f"{sum(result.llm_latencies) / len(result.llm_latencies):.3f}s"
+                )
     return result
 
 

@@ -101,6 +101,12 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--cleaning_mode", type=str, default="meta", choices=["meta", "hf"])
     p.add_argument("--batch_mode", type=str, default="batched", choices=["batched", "reference"])
     p.add_argument("--results_root", type=str, default="results")
+    p.add_argument(
+        "--checkpoint_path", type=str, default=None,
+        help="persist partial results here every --checkpoint_every videos "
+             "and resume from it on restart",
+    )
+    p.add_argument("--checkpoint_every", type=int, default=10)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -153,6 +159,8 @@ def main(argv: Optional[List[str]] = None):
         eval_metrics=not args.no_eval_metrics,
         verbose=args.verbose,
         logger=logger,
+        checkpoint_path=args.checkpoint_path,
+        checkpoint_every=args.checkpoint_every,
     )
 
     if result.metrics is not None:
