@@ -91,6 +91,51 @@ def init_cache(config: LlamaConfig, batch: int, dtype=jnp.bfloat16) -> Cache:
 
 # ---- building blocks ----
 
+def quantize_params(params: Params) -> Params:
+    """Weight-only int8 for all dense projections (embeddings/norms stay
+    bf16). Quantized leaves are {"q": int8 (K, N), "s": f32 (1, N)} and are
+    consumed transparently by the forward (see _dense)."""
+    from prego_tpu.ops.quant import quantize_weight
+
+    def quant(leaf):
+        q, s = quantize_weight(leaf)
+        return {"q": q, "s": s}
+
+    out = {
+        "tok_embeddings": params["tok_embeddings"],
+        "norm": params["norm"],
+        "output": quant(params["output"]),
+        "layers": [],
+    }
+    for layer in params["layers"]:
+        out["layers"].append(
+            {
+                "attention": {k: quant(v) for k, v in layer["attention"].items()},
+                "feed_forward": {k: quant(v) for k, v in layer["feed_forward"].items()},
+                "attention_norm": layer["attention_norm"],
+                "ffn_norm": layer["ffn_norm"],
+            }
+        )
+    return out
+
+
+def _dense(x: jax.Array, leaf) -> jax.Array:
+    """Dense projection dispatch: plain arrays use jnp.dot; int8-quantized
+    {"q","s"} leaves stream through the dequantizing Pallas matmul on TPU
+    (XLA dequant fallback elsewhere). Returns f32."""
+    if isinstance(leaf, dict) and "q" in leaf:
+        from prego_tpu.ops.quant import int8_matmul, int8_matmul_reference
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if jax.default_backend() == "tpu":
+            y = int8_matmul(x2, leaf["q"], leaf["s"])
+        else:
+            y = int8_matmul_reference(x2, leaf["q"], leaf["s"])
+        return y.reshape(*lead, -1)
+    return jnp.dot(x, leaf, preferred_element_type=jnp.float32)
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
@@ -137,9 +182,9 @@ def _attention(
     H, KV, hd = config.n_heads, config.kv_heads, config.head_dim
     p = layer_params
 
-    xq = jnp.dot(x, p["wq"], preferred_element_type=jnp.float32).astype(x.dtype)
-    xk = jnp.dot(x, p["wk"], preferred_element_type=jnp.float32).astype(x.dtype)
-    xv = jnp.dot(x, p["wv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    xq = _dense(x, p["wq"]).astype(x.dtype)
+    xk = _dense(x, p["wk"]).astype(x.dtype)
+    xv = _dense(x, p["wv"]).astype(x.dtype)
     xq = xq.reshape(B, S, H, hd)
     xk = xk.reshape(B, S, KV, hd)
     xv = xv.reshape(B, S, KV, hd)
@@ -188,7 +233,7 @@ def _attention(
         ).astype(x.dtype)
         out = out.reshape(B, S, H * hd)
     return (
-        jnp.dot(out, p["wo"], preferred_element_type=jnp.float32).astype(x.dtype),
+        _dense(out, p["wo"]).astype(x.dtype),
         cache_k,
         cache_v,
     )
@@ -206,10 +251,10 @@ def _flash_decode_supported(config: LlamaConfig) -> bool:
 
 def _feed_forward(layer_params: Params, x: jax.Array) -> jax.Array:
     p = layer_params
-    gate = jnp.dot(x, p["w1"], preferred_element_type=jnp.float32)
-    up = jnp.dot(x, p["w3"], preferred_element_type=jnp.float32)
+    gate = _dense(x, p["w1"])
+    up = _dense(x, p["w3"])
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
-    return jnp.dot(act, p["w2"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return _dense(act, p["w2"]).astype(x.dtype)
 
 
 def forward(
@@ -249,5 +294,5 @@ def forward(
         )
 
     h = rms_norm(h, params["norm"], config.norm_eps)
-    logits = jnp.dot(h, params["output"], preferred_element_type=jnp.float32)
+    logits = _dense(h, params["output"])
     return logits, {"k": new_k, "v": new_v}

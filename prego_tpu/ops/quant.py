@@ -1,0 +1,85 @@
+"""Weight-only int8 quantization for serving.
+
+Single-token decode is weight-streaming-bound (~2 GB of bf16 weights per
+token at 1B scale — RESULTS.md). Per-output-channel symmetric int8 halves
+that traffic; the Pallas matmul streams int8 tiles from HBM, dequantizes
+them in VMEM and runs the MXU in bf16 with f32 accumulation, so accuracy
+loss is the weight rounding only (per-channel, typically <0.5% logits
+drift).
+
+  quantize_weight:  W (K, N) -> int8 q (K, N), f32 scale (1, N)
+                    with scale_j = max|W[:, j]| / 127
+  int8_matmul:      y = (x @ dequant(q)) — grid over N tiles, x resident.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-channel symmetric int8. w: (K, N) -> (q, scale (1, N))."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0, keepdims=True)  # (1, N)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_matmul_kernel(x_ref, q_ref, s_ref, out_ref):
+    w = q_ref[:].astype(jnp.bfloat16)  # dequant int8 tile in VMEM
+    y = jnp.dot(x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    out_ref[:] = (y * s_ref[0, :]).astype(out_ref.dtype)
+
+
+def int8_matmul(
+    x: jax.Array,  # (M, K)
+    q: jax.Array,  # (K, N) int8
+    scale: jax.Array,  # (1, N) f32
+    n_block: int = 512,
+    m_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns x @ dequant(q) as (M, N) f32. Grid over (M, N) tiles so
+    both tiny decode rows and large prefill batches fit VMEM; M is padded
+    up to a block multiple and sliced back."""
+    M, K = x.shape
+    N = q.shape[1]
+    if N % n_block != 0:
+        n_block = N  # small heads: single tile
+    M_pad = M
+    if M > m_block:
+        M_pad = ((M + m_block - 1) // m_block) * m_block
+        if M_pad != M:
+            x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+    else:
+        m_block = M
+    grid = (M_pad // m_block, N // n_block)
+    out = pl.pallas_call(
+        _int8_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_block, K), lambda m, n: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, n_block), lambda m, n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_block), lambda m, n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (m_block, n_block), lambda m, n: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), jnp.float32),
+        interpret=interpret,
+    )(x, q, scale)
+    return out[:M] if M_pad != M else out
+
+
+def int8_matmul_reference(x, q, scale):
+    return jnp.dot(
+        x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * scale[0]

@@ -1,0 +1,64 @@
+"""Weight-only int8 quantization: kernel parity and model-level accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prego_tpu.models.llama import (
+    ByteTokenizer,
+    Llama,
+    forward,
+    init_cache,
+    init_params,
+    tiny_test_config,
+)
+from prego_tpu.models.llama.model import quantize_params
+from prego_tpu.ops.quant import int8_matmul, int8_matmul_reference, quantize_weight
+
+
+def test_quantize_roundtrip_error_bounded(rng):
+    w = rng.normal(0, 0.05, (64, 128)).astype(np.float32)
+    q, s = quantize_weight(jnp.asarray(w))
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    # per-channel symmetric int8: error <= scale/2 per element
+    assert np.max(np.abs(deq - w) / np.asarray(s)) <= 0.5 + 1e-6
+
+
+def test_int8_matmul_kernel_matches_reference(rng):
+    M, K, N = 8, 128, 512
+    x = jnp.asarray(rng.normal(0, 1, (M, K)).astype(np.float32)).astype(jnp.bfloat16)
+    w = rng.normal(0, 0.05, (K, N)).astype(np.float32)
+    q, s = quantize_weight(jnp.asarray(w))
+    ref = int8_matmul_reference(x, q, s)
+    got = int8_matmul(x, q, s, n_block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+
+
+def test_quantized_forward_close_and_greedy_mostly_agrees(rng):
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    qparams = quantize_params(params)
+
+    tokens = rng.integers(0, 200, (2, 12)).astype(np.int32)
+    cache = init_cache(cfg, 2, dtype=jnp.float32)
+    full, _ = forward(params, jnp.asarray(tokens), jnp.int32(0), cache, cfg)
+    cache2 = init_cache(cfg, 2, dtype=jnp.float32)
+    quant, _ = forward(qparams, jnp.asarray(tokens), jnp.int32(0), cache2, cfg)
+
+    # logits drift stays small relative to their scale
+    denom = np.maximum(np.abs(np.asarray(full)), 1.0)
+    rel = np.abs(np.asarray(quant) - np.asarray(full)) / denom
+    assert np.median(rel) < 0.05
+
+    # greedy next-token prediction agrees on most positions
+    agree = np.mean(
+        np.argmax(np.asarray(full), -1) == np.argmax(np.asarray(quant), -1)
+    )
+    assert agree >= 0.7
+
+    # generation runs end to end on quantized weights
+    llama = Llama(qparams, tok, cfg)
+    out = llama.generate([[5, 6, 7]], max_gen_len=5, temperature=0.0)[0][0]
+    assert len(out) <= 5
