@@ -187,6 +187,7 @@ class JaxLlamaLLM:
         dtype=None,
         prefix_cache: bool = True,  # PREGO prompts share huge prefixes
         orbax_dir: Optional[str] = None,  # sharded-format cache of converted weights
+        quantize: bool = False,  # weight-only int8 serving (ops/quant.py)
     ):
         self.prefix_cache = prefix_cache
         import jax.numpy as jnp
@@ -245,9 +246,13 @@ class JaxLlamaLLM:
 
         import jax
 
+        if quantize:
+            from prego_tpu.models.llama.model import quantize_params
+
+            params = quantize_params(params)
         if tp is None:
             tp = len(jax.devices())
-        if tp > 1:
+        if tp > 1 and not quantize:  # int8 leaves ship with their own layout
             mesh = tp_mesh(tp)
             params = shard_params(params, llama_param_specs(config), mesh)
         self.llama = Llama(params, tokenizer, config)

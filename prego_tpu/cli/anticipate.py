@@ -86,6 +86,8 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--seqs", type=str, default=None, help="path to a predictions/aggregated JSON")
     p.add_argument("--max_seq_len", type=int, default=512)
     p.add_argument("--max_batch_size", type=int, default=8)
+    p.add_argument("--quantize", action="store_true",
+                   help="weight-only int8 serving for --llm jax-llama")
     p.add_argument("--max_gen_len", type=int, default=8)
     p.add_argument("--temperature", type=float, default=0.6)
     p.add_argument("--top_p", type=float, default=0.9)
@@ -133,6 +135,7 @@ def main(argv: Optional[List[str]] = None):
             tokenizer_path=args.tokenizer_path,
             max_seq_len=args.max_seq_len,
             max_batch_size=args.max_batch_size,
+            quantize=args.quantize,
         )
 
     seqs, contexts, toy2class, idx2action, idx2emoji = load_assets(args)
