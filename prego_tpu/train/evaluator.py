@@ -98,6 +98,56 @@ def streaming_scores(
     return np.concatenate(outs, axis=1)
 
 
+def streaming_scores_lazy(
+    model: MiniROAD,
+    params,
+    store: FeatureStore,
+    vids: List[str],
+    chunk_size: int = 2048,
+    chunk_fn=None,
+    backend: str = "scan",
+) -> List[np.ndarray]:
+    """Causal scores per video WITHOUT materializing a padded (V, Tmax, D)
+    batch: each time chunk is gathered from the store just before its
+    dispatch, so peak host memory is one (V, chunk, D) slab regardless of
+    video length (at real Assembly scale a dense padded batch would be tens
+    of GB). Returns a list of (T_v, K) arrays aligned with ``vids``."""
+    V = len(vids)
+    lengths = np.array([store.length(v) for v in vids], np.int64)
+    Tmax = int(lengths.max())
+    if chunk_fn is None:
+        chunk_fn = make_chunk_fn(model, store.flow_is_zero, backend=backend)
+    hidden = model.init_hidden(V)
+    zero_flow = (
+        jnp.zeros((V, chunk_size, store.flow_dim), jnp.float32)
+        if store.flow_is_zero
+        else None
+    )
+    per_chunk: List[np.ndarray] = []
+    for t0 in range(0, Tmax, chunk_size):
+        r = np.zeros((V, chunk_size, store.rgb_dim), np.float32)
+        f = None if store.flow_is_zero else np.zeros(
+            (V, chunk_size, store.flow_dim), np.float32
+        )
+        for i, v in enumerate(vids):
+            t1v = min(t0 + chunk_size, int(lengths[i]))
+            if t1v > t0:
+                r[i, : t1v - t0] = store.rgb[v][t0:t1v]
+                if f is not None:
+                    f[i, : t1v - t0] = store.flow[v][t0:t1v]
+        scores, hidden = chunk_fn(
+            params,
+            jnp.asarray(r),
+            zero_flow if f is None else jnp.asarray(f),
+            hidden,
+        )
+        per_chunk.append(np.asarray(scores))
+    return [
+        np.concatenate([c[i] for c in per_chunk], axis=0)[: int(lengths[i])]
+        for i in range(V)
+    ]
+
+
 @EVALUATORS.register("ANTICIPATION")
 class AntEvaluator:
     """ANT_Evaluate parity (trainer/eval.py:87-161): per-frame mAP for the
@@ -182,31 +232,41 @@ class Evaluator:
         store: FeatureStore,
         export_json: Optional[str] = None,
         chunk_size: int = 2048,
+        video_batch: int = 64,
     ) -> Tuple[float, Dict]:
-        rgb, flow, target, lengths, vids = pack_eval_batch(store)
+        """Evaluate in groups of ``video_batch`` videos so peak host memory
+        stays bounded (a dense padded batch over the real Assembly test set
+        would be tens of GB); within a group, time chunks are gathered from
+        the store lazily just before dispatch."""
         backend = self.cfg.get("gru_backend", "scan")
+        all_vids = list(store.vids)
         t_start = time.perf_counter()
-        if hasattr(model, "init_hidden"):  # recurrent: chunked carried-state path
-            scores = streaming_scores(
-                model, params, rgb, flow, store.flow_is_zero,
-                chunk_size=chunk_size, backend=backend,
-            )
-        else:  # windowed models (Transformer) chunk internally per frame
-            scores = np.asarray(
-                model.forward_full(
-                    params, jnp.asarray(rgb), jnp.asarray(flow),
-                    flow_is_zero=store.flow_is_zero,
+        per_video_scores: Dict[str, np.ndarray] = {}
+        for g0 in range(0, len(all_vids), video_batch):
+            group = all_vids[g0 : g0 + video_batch]
+            if hasattr(model, "init_hidden"):  # recurrent carried-state path
+                group_scores = streaming_scores_lazy(
+                    model, params, store, group,
+                    chunk_size=chunk_size, backend=backend,
                 )
-            )
-        jax.block_until_ready(scores)
+            else:  # windowed models (Transformer) chunk internally per frame
+                rgb, flow, _, lengths_g, _ = pack_eval_batch(store, group)
+                dense = np.asarray(
+                    model.forward_full(
+                        params, jnp.asarray(rgb), jnp.asarray(flow),
+                        flow_is_zero=store.flow_is_zero,
+                    )
+                )
+                group_scores = [dense[i, : int(lengths_g[i])] for i in range(len(group))]
+            per_video_scores.update(zip(group, group_scores))
         elapsed = time.perf_counter() - t_start
 
         pred_scores, gt_targets = [], []
         output = {}
-        for i, vid in enumerate(vids):
-            t = int(lengths[i])
-            s = scores[i, :t]
-            g = target[i, :t]
+        lengths = np.array([store.length(v) for v in all_vids], np.int64)
+        for vid in all_vids:
+            s = per_video_scores[vid]
+            g = store.target[vid]
             pred_scores.append(s)
             gt_targets.append(g)
             output[vid] = {
