@@ -70,7 +70,25 @@ def main(argv: Optional[List[str]] = None) -> float:
         window_size=cfg.window_size,
         logger=logger,
     )
-    test_store = load_feature_store(vids=info.test_session_set, training=False, **common)
+    data_backend = cfg.get("data_backend", "numpy")
+    if data_backend == "native":
+        from prego_tpu.data.native_loader import NativeRecognitionData
+        from prego_tpu.native import build_native_library, native_available
+
+        if not (native_available() or build_native_library()):
+            raise SystemExit(
+                "data_backend=native requires libprego_native.so "
+                "(make -C prego_tpu/native)"
+            )
+        nc = {k: v for k, v in common.items()}
+        test_store = NativeRecognitionData(
+            root_path=nc.pop("root_path"), vids=info.test_session_set,
+            training=False, **nc,
+        )
+    else:
+        test_store = load_feature_store(
+            vids=info.test_session_set, training=False, **common
+        )
     from prego_tpu.core.registry import MODELS
 
     model = MODELS.get(cfg.model)(cfg)
@@ -84,19 +102,12 @@ def main(argv: Optional[List[str]] = None) -> float:
         logger.info(f"per-frame predictions exported to {export}")
         return mAP
 
-    data_backend = cfg.get("data_backend", "numpy")
     if data_backend == "native":
         from prego_tpu.data.native_loader import (
             NativeRecognitionData,
             NativeWindowSampler,
         )
-        from prego_tpu.native import build_native_library, native_available
 
-        if not (native_available() or build_native_library()):
-            raise SystemExit(
-                "data_backend=native requires libprego_native.so "
-                "(make -C prego_tpu/native)"
-            )
         native_common = {k: v for k, v in common.items()}
         train_data = NativeRecognitionData(
             root_path=native_common.pop("root_path"),

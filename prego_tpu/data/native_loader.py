@@ -27,8 +27,63 @@ from prego_tpu.data.windowing import Batch
 from prego_tpu.native import NativeFeatureStore
 
 
+class _LazyVideo:
+    """Sliceable view of one video's rows in a native store (virtual
+    zero-prefix applied); materializes only the requested range."""
+
+    def __init__(self, fs: NativeFeatureStore, idx: int, pad: int, length: int,
+                 zero_dim: Optional[int] = None):
+        self._fs = fs
+        self._idx = idx
+        self._pad = pad
+        self._len = length
+        self._zero_dim = zero_dim  # structurally-zero stream (flow quirk)
+
+    @property
+    def shape(self):
+        dim = self._zero_dim if self._zero_dim is not None else self._fs.dims(self._idx)[1]
+        return (self._len, dim)
+
+    def __len__(self):
+        return self._len
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            start, stop, step = key.indices(self._len)
+            if step != 1:
+                raise ValueError("only contiguous slices supported")
+            if self._zero_dim is not None:
+                return np.zeros((stop - start, self._zero_dim), np.float32)
+            return self._fs.read_rows(self._idx, start - self._pad, stop - start)
+        raise TypeError("index videos with contiguous slices")
+
+    def __array__(self, dtype=None, copy=None):
+        out = self[0 : self._len]
+        return out.astype(dtype) if dtype is not None else out
+
+
+class _LazyColumn:
+    def __init__(self, data: "NativeRecognitionData", which: str):
+        self._d = data
+        self._which = which
+
+    def __getitem__(self, vid: str) -> _LazyVideo:
+        d = self._d
+        i = d.vids.index(vid)
+        idx = int(d._indices[i])
+        if self._which == "rgb":
+            return _LazyVideo(d._rgb, idx, d.pad, d.length(vid))
+        if self._which == "target":
+            return _LazyVideo(d._tgt, idx, d.pad, d.length(vid))
+        if d._flow is None:  # zeroed flow quirk: zeros on demand
+            return _LazyVideo(d._rgb, idx, d.pad, d.length(vid), zero_dim=d.flow_dim)
+        return _LazyVideo(d._flow, idx, d.pad, d.length(vid))
+
+
 class NativeRecognitionData:
-    """Lazy rgb/flow/target stores for one split."""
+    """Lazy rgb/flow/target stores for one split. Exposes the FeatureStore
+    surface (vids / length / flow_is_zero / rgb / flow / target dict-style
+    views) so samplers AND the lazy evaluator run off the mmap directly."""
 
     def __init__(
         self,
@@ -84,6 +139,9 @@ class NativeRecognitionData:
             v: self._tgt.dims(int(i))[0] + self.pad
             for v, i in zip(self.vids, self._indices)
         }
+        self.rgb = _LazyColumn(self, "rgb")
+        self.flow = _LazyColumn(self, "flow")
+        self.target = _LazyColumn(self, "target")
 
     def length(self, vid: str) -> int:
         """Video length including the virtual training prefix."""

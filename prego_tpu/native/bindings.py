@@ -66,6 +66,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.fs_read_rows.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.fs_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -126,6 +133,16 @@ class NativeFeatureStore:
         out = np.empty((rows, cols), np.float32)
         self._lib.fs_read_all(
             self._handle, i, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return out
+
+    def read_rows(self, i: int, start: int, count: int) -> np.ndarray:
+        """Rows [start, start+count) as f32; out-of-range rows zero-filled."""
+        _, cols = self.dims(i)
+        out = np.empty((count, cols), np.float32)
+        self._lib.fs_read_rows(
+            self._handle, i, start, count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         return out
 

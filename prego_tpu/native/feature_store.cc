@@ -198,6 +198,36 @@ void fs_read_all(void* handle, int32_t i, float* out) {
   }
 }
 
+// Copy rows [start, start+count) of file i into out (count*cols f32),
+// clamped to the file; rows outside are zero-filled. Lazy chunked eval.
+void fs_read_rows(void* handle, int32_t i, int64_t start, int64_t count,
+                  float* out) {
+  Store* s = static_cast<Store*>(handle);
+  const Mapped& m = s->files[i];
+  if (!m.data) {
+    memset(out, 0, count * sizeof(float));
+    return;
+  }
+  int64_t lead = start < 0 ? std::min(-start, count) : 0;
+  int64_t src_start = start + lead;
+  int64_t copy = std::min(count - lead, m.rows - src_start);
+  if (copy < 0) copy = 0;
+  int64_t tail = count - lead - copy;
+  if (lead) memset(out, 0, lead * m.cols * sizeof(float));
+  if (copy) {
+    float* dst = out + lead * m.cols;
+    if (m.itemsize == 4) {
+      memcpy(dst, m.data + src_start * m.cols * 4,
+             copy * m.cols * sizeof(float));
+    } else {
+      const double* src =
+          reinterpret_cast<const double*>(m.data + src_start * m.cols * 8);
+      for (int64_t j = 0; j < copy * m.cols; ++j) dst[j] = (float)src[j];
+    }
+  }
+  if (tail) memset(out + (lead + copy) * m.cols, 0, tail * m.cols * sizeof(float));
+}
+
 void fs_close(void* handle) {
   Store* s = static_cast<Store*>(handle);
   for (auto& m : s->files)

@@ -83,3 +83,41 @@ def test_missing_video_dropped_native(synth):
     )
     assert data.removed == 1
     assert "ghost_video" not in data.vids
+
+
+def test_native_store_drives_lazy_eval(synth):
+    """The evaluator runs entirely off the mmap store, same results as the
+    in-RAM FeatureStore path."""
+    import jax
+
+    from prego_tpu.core import RecognitionConfig
+    from prego_tpu.models.miniroad import MiniROAD
+    from prego_tpu.train import Evaluator
+
+    numpy_store, _ = _make_pair(synth, training=False)
+    from prego_tpu.data.native_loader import NativeRecognitionData
+
+    data_root, vl_path, _, _ = synth
+    info = load_dataset_info(vl_path, "SYNTH")
+    native_store = NativeRecognitionData(
+        data_root, list(info.test_session_set),
+        rgb_type="rgb_kinetics_bninception", flow_type="flow_anet_resnet50",
+        annotation_type="target_perframe", num_classes=6,
+        training=False, window_size=16,
+    )
+    cfg = RecognitionConfig.from_dict(
+        {
+            "rgb_type": "rgb_kinetics_bninception",
+            "flow_type": "flow_anet_resnet50",
+            "embedding_dim": 48, "hidden_dim": 32, "num_layers": 1,
+            "num_classes": 6, "dropout": 0.0, "metric": "AP",
+            "data_name": "SYNTH",
+        }
+    )
+    model = MiniROAD(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ev = Evaluator(cfg, [f"c{i}" for i in range(6)])
+    mAP_np, r_np = ev(model, params, numpy_store, chunk_size=64)
+    mAP_nat, r_nat = ev(model, params, native_store, chunk_size=64)
+    assert mAP_np == pytest.approx(mAP_nat, abs=1e-9)
+    assert r_np["output"] == r_nat["output"]
