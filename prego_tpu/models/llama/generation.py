@@ -43,7 +43,9 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "temperature", "top_p", "eos_id", "pad_id", "want_logprobs"),
+    static_argnames=(
+        "config", "temperature", "top_p", "eos_id", "pad_id", "want_logprobs",
+    ),
     donate_argnames=("cache",),
 )
 def _generate_jit(
