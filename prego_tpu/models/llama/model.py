@@ -7,22 +7,25 @@ Parity surface: the vendored Meta reference decoder
 
 TPU-first design decisions:
   * functional params + functional KV cache — no in-place CUDA buffers
-    (model.py:237-252); the cache is a pytree threaded through jit, updated
-    with lax.dynamic_update_slice, donated between decode steps;
-  * attention always scores against the full max_seq_len cache with a
-    position mask instead of dynamically-sliced cache views — static shapes
-    so XLA compiles one kernel (model.py:283-290 slices dynamically);
+    (model.py:237-252); the cache is a pytree of per-layer head-major
+    (B, KV, T, hd) leaves threaded through jit, updated with
+    lax.dynamic_update_slice and aliased in place by the decode while_loop;
+  * prefill attention scores against the full max_seq_len cache with a
+    position mask — static shapes so XLA compiles one kernel
+    (model.py:283-290 slices dynamically); single-token decode runs the
+    fused streaming-softmax kernel (ops/decode_attention.py);
   * tensor parallelism is sharding metadata, not module classes: wq/wk/wv/
     w1/w3 are column-sharded, wo/w2 row-sharded, exactly the fairscale
     Column/RowParallelLinear layout (model.py:202-235,338-346), with XLA
     inserting the all-reduces over ICI;
   * bf16 parameters/activations with f32 softmax, norms and logits
-    (the reference runs fp16 with f32 norm upcasts, model.py:75-77).
+    (the reference runs fp16 with f32 norm upcasts, model.py:75-77);
+    optional weight-only int8 serving (quantize_params + ops/quant.py).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +33,7 @@ import jax.numpy as jnp
 from prego_tpu.models.llama.config import LlamaConfig
 
 Params = Dict[str, Any]
-Cache = Dict[str, jax.Array]
+Cache = Dict[str, List[jax.Array]]  # {"k": [per-layer], "v": [per-layer]}
 
 
 # ---- initialization ----
