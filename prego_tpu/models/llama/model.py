@@ -122,6 +122,37 @@ def quantize_params(params: Params) -> Params:
     return out
 
 
+def fuse_projections(params: Params) -> Params:
+    """Serving-time transform: concatenate wq|wk|wv -> wqkv and w1|w3 -> w13
+    so each decode layer issues one projection matmul instead of three/two
+    (fewer kernel launches; same bytes). Single-chip layout — the fairscale
+    TP sharding rules apply to the UNfused leaves, so fuse only when not
+    tensor-parallel. Composes with quantize_params (fuse first)."""
+    out = {
+        "tok_embeddings": params["tok_embeddings"],
+        "norm": params["norm"],
+        "output": params["output"],
+        "layers": [],
+    }
+    for layer in params["layers"]:
+        a, f = layer["attention"], layer["feed_forward"]
+        out["layers"].append(
+            {
+                "attention": {
+                    "wqkv": jnp.concatenate([a["wq"], a["wk"], a["wv"]], axis=1),
+                    "wo": a["wo"],
+                },
+                "feed_forward": {
+                    "w13": jnp.concatenate([f["w1"], f["w3"]], axis=1),
+                    "w2": f["w2"],
+                },
+                "attention_norm": layer["attention_norm"],
+                "ffn_norm": layer["ffn_norm"],
+            }
+        )
+    return out
+
+
 def _dense(x: jax.Array, leaf) -> jax.Array:
     """Dense projection dispatch: plain arrays use jnp.dot; int8-quantized
     {"q","s"} leaves stream through the dequantizing Pallas matmul on TPU
@@ -185,9 +216,15 @@ def _attention(
     H, KV, hd = config.n_heads, config.kv_heads, config.head_dim
     p = layer_params
 
-    xq = _dense(x, p["wq"]).astype(x.dtype)
-    xk = _dense(x, p["wk"]).astype(x.dtype)
-    xv = _dense(x, p["wv"]).astype(x.dtype)
+    if "wqkv" in p:  # fused serving layout (fuse_projections)
+        xqkv = _dense(x, p["wqkv"]).astype(x.dtype)
+        xq = xqkv[..., : H * hd]
+        xk = xqkv[..., H * hd : (H + KV) * hd]
+        xv = xqkv[..., (H + KV) * hd :]
+    else:
+        xq = _dense(x, p["wq"]).astype(x.dtype)
+        xk = _dense(x, p["wk"]).astype(x.dtype)
+        xv = _dense(x, p["wv"]).astype(x.dtype)
     xq = xq.reshape(B, S, H, hd)
     xk = xk.reshape(B, S, KV, hd)
     xv = xv.reshape(B, S, KV, hd)
@@ -254,8 +291,13 @@ def _flash_decode_supported(config: LlamaConfig) -> bool:
 
 def _feed_forward(layer_params: Params, x: jax.Array) -> jax.Array:
     p = layer_params
-    gate = _dense(x, p["w1"])
-    up = _dense(x, p["w3"])
+    if "w13" in p:  # fused serving layout
+        g13 = _dense(x, p["w13"])
+        F = g13.shape[-1] // 2
+        gate, up = g13[..., :F], g13[..., F:]
+    else:
+        gate = _dense(x, p["w1"])
+        up = _dense(x, p["w3"])
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
     return _dense(act, p["w2"]).astype(x.dtype)
 

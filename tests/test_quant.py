@@ -62,3 +62,26 @@ def test_quantized_forward_close_and_greedy_mostly_agrees(rng):
     llama = Llama(qparams, tok, cfg)
     out = llama.generate([[5, 6, 7]], max_gen_len=5, temperature=0.0)[0][0]
     assert len(out) <= 5
+
+
+def test_fused_projections_equal_unfused(rng):
+    from prego_tpu.models.llama.model import fuse_projections
+
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    fused = fuse_projections(params)
+
+    tokens = rng.integers(0, 200, (2, 9)).astype(np.int32)
+    c1 = init_cache(cfg, 2, dtype=jnp.float32)
+    c2 = init_cache(cfg, 2, dtype=jnp.float32)
+    a, _ = forward(params, jnp.asarray(tokens), jnp.int32(0), c1, cfg)
+    b, _ = forward(fused, jnp.asarray(tokens), jnp.int32(0), c2, cfg)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    # fuse + quantize compose
+    fq = quantize_params(fused)
+    c3 = init_cache(cfg, 2, dtype=jnp.float32)
+    q, _ = forward(fq, jnp.asarray(tokens), jnp.int32(0), c3, cfg)
+    agree = np.mean(np.argmax(np.asarray(a), -1) == np.argmax(np.asarray(q), -1))
+    assert agree >= 0.7
