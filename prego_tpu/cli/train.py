@@ -92,14 +92,24 @@ def main(argv: Optional[List[str]] = None) -> float:
     from prego_tpu.core.registry import MODELS
 
     model = MODELS.get(cfg.model)(cfg)
-    evaluator = Evaluator(cfg, info.class_index, logger=logger)
+    # task dispatch mirrors the reference's build_trainer/build_eval
+    # registries (trainer/{train_builder,eval_builder}.py)
+    if cfg.task == "ANTICIPATION":
+        from prego_tpu.train.evaluator import AntEvaluator
+
+        evaluator = AntEvaluator(cfg, info.class_index, logger=logger)
+    else:
+        evaluator = Evaluator(cfg, info.class_index, logger=logger)
 
     if cfg.eval is not None:
         params = load_params(cfg.eval)
-        export = osp.join(cfg.eval_output_dir, cfg.eval_output_name)
-        mAP, _ = evaluator(model, params, test_store, export_json=export)
+        if cfg.task == "ANTICIPATION":
+            mAP, _ = evaluator(model, params, test_store)
+        else:
+            export = osp.join(cfg.eval_output_dir, cfg.eval_output_name)
+            mAP, _ = evaluator(model, params, test_store, export_json=export)
+            logger.info(f"per-frame predictions exported to {export}")
         logger.info(f"{cfg.task} result: {mAP * 100:.2f} m{cfg.metric}")
-        logger.info(f"per-frame predictions exported to {export}")
         return mAP
 
     if data_backend == "native":
@@ -117,11 +127,20 @@ def main(argv: Optional[List[str]] = None) -> float:
         )
         train_store = train_data  # exposes flow_is_zero like FeatureStore
         sampler = NativeWindowSampler(train_data, cfg.window_size, cfg.stride)
+        if cfg.task == "ANTICIPATION":
+            raise SystemExit("ANTICIPATION training uses the numpy data backend")
     else:
         train_store = load_feature_store(
             vids=info.train_session_set, training=True, **common
         )
-        sampler = WindowSampler(train_store, cfg.window_size, cfg.stride)
+        if cfg.task == "ANTICIPATION":
+            from prego_tpu.data.windowing import AnticipationWindowSampler
+
+            sampler = AnticipationWindowSampler(
+                train_store, cfg.window_size, cfg.stride, cfg.anticipation_length
+            )
+        else:
+            sampler = WindowSampler(train_store, cfg.window_size, cfg.stride)
     np_rng = np.random.default_rng(cfg.seed)
     sampler.resample(np_rng)
 
@@ -150,9 +169,17 @@ def main(argv: Optional[List[str]] = None) -> float:
         if ckpt["rng"] is not None:
             rng = jax.numpy.asarray(ckpt["rng"])
         logger.info(f"resumed from {args.resume} at epoch {start_epoch}")
-    train_step = make_train_step(
-        model, optimizer, flow_is_zero=train_store.flow_is_zero, bf16=cfg.amp
-    )
+    if cfg.task == "ANTICIPATION":
+        from prego_tpu.train.trainer import make_ant_train_step
+
+        train_step = make_ant_train_step(
+            model, optimizer, flow_is_zero=train_store.flow_is_zero, bf16=cfg.amp
+        )
+    else:
+        train_step = make_train_step(
+            model, optimizer, flow_is_zero=train_store.flow_is_zero, bf16=cfg.amp,
+            gru_backend=cfg.get("train_gru_backend", "scan"),
+        )
 
     n_params = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(params))
     logger.info(f"Dataset: {cfg.data_name},  Model: {cfg.model}")
@@ -179,7 +206,11 @@ def main(argv: Optional[List[str]] = None) -> float:
     ckpt_path = osp.join(result_path, "ckpts", "best.ckpt")
     for epoch in range(start_epoch, cfg.num_epoch + 1):
         t0 = time.perf_counter()
-        params, opt_state, rng, epoch_loss = train_one_epoch(
+        if cfg.task == "ANTICIPATION":
+            from prego_tpu.train.trainer import ant_train_one_epoch as epoch_fn
+        else:
+            epoch_fn = train_one_epoch
+        params, opt_state, rng, epoch_loss = epoch_fn(
             sampler, model, train_step, params, opt_state, rng,
             cfg.batch_size, epoch, np_rng=np_rng, logger=logger, writer=writer,
         )
