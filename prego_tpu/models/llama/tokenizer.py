@@ -198,21 +198,57 @@ class SentencePieceTokenizer:
         return s.replace(" ", WHITESPACE_PIECE)
 
     def encode_as_pieces(self, s: str) -> List[str]:
+        """SentencePiece BPE with the agenda algorithm: a max-heap of
+        candidate merges with lazy invalidation over a doubly-linked symbol
+        list — O(n log n) (a rescan-per-merge greedy is quadratic and takes
+        minutes on few-shot-context-sized prompts)."""
+        import heapq
+
         symbols = list(self._normalize(s))
-        if not symbols:
+        n = len(symbols)
+        if n == 0:
             return []
         scores = self._scores
-        while True:
-            best_score, best_i = None, -1
-            for i in range(len(symbols) - 1):
-                merged = symbols[i] + symbols[i + 1]
-                sc = scores.get(merged)
-                if sc is not None and (best_score is None or sc > best_score):
-                    best_score, best_i = sc, i
-            if best_i < 0:
-                break
-            symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
-        return symbols
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        alive = [True] * n
+
+        heap = []  # (-score, left_pos, merged_string)
+        def push(i):
+            j = nxt[i]
+            if i < 0 or j < 0:
+                return
+            merged = symbols[i] + symbols[j]
+            sc = scores.get(merged)
+            if sc is not None:
+                heapq.heappush(heap, (-sc, i, merged))
+
+        for i in range(n - 1):
+            push(i)
+
+        while heap:
+            negs, i, merged = heapq.heappop(heap)
+            j = nxt[i] if i >= 0 else -1
+            # lazy invalidation: the pair must still exist unchanged
+            if i < 0 or j < 0 or not alive[i] or not alive[j]:
+                continue
+            if symbols[i] + symbols[j] != merged:
+                continue
+            symbols[i] = merged
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] >= 0:
+                prv[nxt[j]] = i
+            push(prv[i]) if prv[i] >= 0 else None
+            push(i)
+
+        out = []
+        i = 0
+        while i >= 0:
+            if alive[i]:
+                out.append(symbols[i])
+            i = nxt[i]
+        return out
 
     def encode(self, s: str, bos: bool, eos: bool) -> List[int]:
         ids: List[int] = []
