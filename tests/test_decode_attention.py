@@ -49,3 +49,20 @@ def test_online_softmax_across_blocks(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
+
+
+@pytest.mark.parametrize("R", [4, 8])
+def test_gqa_wide_groups(rng, R):
+    """GQA with many query heads per kv head (LLaMA-3-style ratios)."""
+    B, KV, hd, T = 2, 2, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(300)
+    )
+    got = decode_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(300),
+        t_block=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
