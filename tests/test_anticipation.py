@@ -189,3 +189,35 @@ def test_fake_llm_on_reference_predictions():
     assert res.metrics["samples"] == sum(len(v["pred"]) for v in small.values())
     for k in small:
         assert len(res.preds[k]) == len(small[k]["pred"])
+
+
+@pytest.mark.parametrize(
+    "style,init,inp,out",
+    [
+        ("unreferenced", "Context:", "Input:", "Output:"),
+        ("elaborate", "Given the sequences of the following:",
+         "Complete the following sequence:", "Sequence is completed with:"),
+        ("no-context", "Sequence type:", "", ""),
+    ],
+)
+def test_other_context_styles_golden(style, init, inp, out):
+    """All four published prompt styles produce the exact reference layout
+    (data/context_prompt/context_prompt.json x llama_meta.py:118-159)."""
+    b = PromptBuilder(context="CTX\n", toy="a08", type_prompt="num", prompt_context=style)
+    got = b.step_prompt([4, 5], 1)
+    assert got == f"CTX\n{init} a08\n{inp}\n -1, 4\n{out}\n"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PRED), reason="reference artifacts absent")
+def test_reference_context_styles_match_embedded_defaults():
+    """The embedded default styles equal the reference's shipped JSON."""
+    import json as _json
+
+    from prego_tpu.anticipation import DEFAULT_CONTEXT_STYLES
+
+    path = "/root/reference/step_anticipation/data/context_prompt/context_prompt.json"
+    if not os.path.exists(path):
+        pytest.skip("context_prompt.json absent")
+    with open(path) as f:
+        shipped = _json.load(f)
+    assert shipped == DEFAULT_CONTEXT_STYLES
