@@ -69,3 +69,23 @@ def test_text_completion_seam_with_cache():
     )
     r2 = llama.text_completion([base + "a", base + "b"], temperature=0.0, max_gen_len=4)
     assert [r["generation"] for r in r1] == [r["generation"] for r in r2]
+
+
+def test_prefix_cache_with_fused_and_quantized_params():
+    """Serving transforms compose with KV prefix caching (the default
+    jax-llama single-chip path is fused + cached)."""
+    from prego_tpu.models.llama import tiny_test_config
+    from prego_tpu.models.llama.model import fuse_projections, quantize_params
+
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(31), dtype=jnp.float32)
+    prefix = list(range(10, 90))
+    prompts = [prefix + [5, 6], prefix + [7, 8]]
+
+    for transform in (fuse_projections, lambda p: quantize_params(fuse_projections(p))):
+        llama = Llama(transform(params), tok, cfg)
+        plain = llama.generate(prompts, max_gen_len=4, temperature=0.0)[0]
+        cached = llama.generate_with_prefix_cache(prompts, max_gen_len=4, temperature=0.0)
+        assert cached == plain
+        assert llama._prefix_key is not None
