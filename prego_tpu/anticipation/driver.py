@@ -237,6 +237,12 @@ def save_results(
     with open(os.path.join(out_dir, "plot.pkl"), "wb") as f:
         pickle.dump(result.out_plot, f)
     if result.metrics is not None:
+        metrics = dict(result.metrics)
+        if result.llm_latencies:
+            metrics["mean_llm_call_s"] = sum(result.llm_latencies) / len(
+                result.llm_latencies
+            )
+            metrics["llm_calls"] = len(result.llm_latencies)
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-            json.dump(result.metrics, f, indent=2)
+            json.dump(metrics, f, indent=2)
     return out_dir
