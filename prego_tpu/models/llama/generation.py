@@ -293,6 +293,9 @@ class Llama:
                 )
             return out
 
+        assert max(len(t) for t in prompt_tokens) <= config.max_seq_len, (
+            "prompt exceeds max_seq_len"
+        )
         common = min(len(t) for t in prompt_tokens)
         first = prompt_tokens[0]
         shared = 0

@@ -91,3 +91,47 @@ def test_recognizer_per_stream_reset(rng):
     h_after = np.asarray(rec.hidden[0])
     assert np.all(h_after[0] == 0)
     assert not np.all(h_after[1] == 0)
+
+
+def test_online_detector_with_jax_llama(rng):
+    """The live loop composed with the TPU-native LLM path (tiny model):
+    recognizer -> streaming consensus -> prefix-cached LLaMA anticipation."""
+    import jax.numpy as jnp
+
+    from prego_tpu.models.llama import ByteTokenizer, Llama, init_params, tiny_test_config
+    from prego_tpu.models.llama.model import fuse_projections
+
+    tok = ByteTokenizer()
+    lcfg = tiny_test_config(vocab_size=tok.n_words)
+    llama = Llama(
+        fuse_projections(init_params(lcfg, jax.random.PRNGKey(3), dtype=jnp.float32)),
+        tok, lcfg,
+    )
+
+    class Adapter:
+        def text_completion(self, prompts, max_gen_len=None, temperature=0.6, top_p=0.9):
+            return llama.text_completion(
+                prompts, temperature=temperature, top_p=top_p,
+                max_gen_len=max_gen_len, use_prefix_cache=True,
+            )
+
+    model = MiniROAD(CFG)
+    params = model.init(jax.random.PRNGKey(4))
+    rec = OnlineRecognizer(model, params, batch=1, flow_is_zero=True)
+    context = "Sequence type: t1\nInput Sequence:\n -1, 2\nNext Symbol:\n 3\n---\n"
+    det = OnlineMistakeDetector(
+        rec, Adapter(), context=context, toy="t1", type_prompt="num",
+        window_size=8, temperature=0.0, max_gen_len=3,
+    )
+    events = []
+    for t in range(25):
+        frame = rng.normal(0, 1, (model.rgb_dim,)).astype(np.float32)
+        ev = det.push_frame(frame)
+        if ev is not None:
+            events.append(ev)
+    tail = det.finish()
+    if tail is not None:
+        events.append(tail)
+    assert events, "at least one aggregated step must surface"
+    for ev in events:
+        assert isinstance(ev.is_mistake, bool) and ev.anticipated
