@@ -13,13 +13,35 @@ reference's own eval FPS logging is broken — eval.py:35-36,77).
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 
+def _watchdog(seconds: float):
+    """The tunneled TPU transport can wedge entirely (device ops hang
+    forever); fail fast with a clear message instead of hanging the
+    harness."""
+
+    def trip():
+        print(
+            f"bench watchdog: no result within {seconds:.0f}s — "
+            "TPU transport appears hung",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, trip)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    _watchdog(480)
     import jax
     import jax.numpy as jnp
 
