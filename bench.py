@@ -10,21 +10,28 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N/10000}
 Baseline: the >10k frames/sec/chip north star from BASELINE.md (the
 reference's own eval FPS logging is broken — eval.py:35-36,77).
+
+Resilience: the tunneled TPU transport can wedge for minutes at a time (an
+in-process jax call then hangs forever and nothing in-process recovers it).
+The measurement therefore runs in a CHILD process with a hard timeout; the
+parent retries a few times with backoff so a transient tunnel outage at
+capture time doesn't turn into a missing number for the whole round.
 """
 
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
 
-import numpy as np
+ATTEMPT_TIMEOUT = 420  # seconds per child attempt (cold remote compile ~100s)
+MAX_ATTEMPTS = 3
+BACKOFF = 45  # seconds between attempts
 
 
 def _watchdog(seconds: float):
-    """The tunneled TPU transport can wedge entirely (device ops hang
-    forever); fail fast with a clear message instead of hanging the
-    harness."""
+    """Fail fast with a clear message if the device op never returns."""
 
     def trip():
         print(
@@ -40,14 +47,18 @@ def _watchdog(seconds: float):
     return t
 
 
-def main():
-    _watchdog(480)
+def run_bench():
+    _watchdog(ATTEMPT_TIMEOUT - 10)
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
     from prego_tpu.core import RecognitionConfig
     from prego_tpu.models.miniroad import MiniROAD
     from prego_tpu.train.evaluator import make_chunk_fn
+
+    print(f"bench: devices={jax.devices()}", file=sys.stderr)
 
     cfg = RecognitionConfig.from_dict(
         {
@@ -63,9 +74,10 @@ def main():
     model = MiniROAD(cfg)
     params = model.init(jax.random.PRNGKey(0))
 
-    B = 128  # videos streamed concurrently (test split scale)
-    CHUNK = 512
-    N_CHUNKS = 16  # measured frames = B * CHUNK * N_CHUNKS
+    # scale overrides let the harness plumbing be smoke-tested on CPU
+    B = int(os.environ.get("PREGO_BENCH_B", 128))  # videos streamed concurrently
+    CHUNK = int(os.environ.get("PREGO_BENCH_CHUNK", 512))
+    N_CHUNKS = int(os.environ.get("PREGO_BENCH_NCHUNKS", 16))
 
     rng = np.random.default_rng(0)
     # one resident chunk re-fed each step: isolates device throughput from
@@ -93,6 +105,7 @@ def main():
     hidden = model.init_hidden(B)
     scores, hidden = chunk_fn(params, chunks[0], zero_flow, hidden)  # compile
     float(checksum(scores))
+    print("bench: compiled, measuring", file=sys.stderr)
 
     hidden = model.init_hidden(B)
     t0 = time.perf_counter()
@@ -114,6 +127,45 @@ def main():
             }
         )
     )
+
+
+def main():
+    if "--child" in sys.argv:
+        return run_bench()
+
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                timeout=ATTEMPT_TIMEOUT,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench attempt {attempt}/{MAX_ATTEMPTS}: child timed out "
+                f"after {ATTEMPT_TIMEOUT}s (TPU transport hung)",
+                file=sys.stderr,
+            )
+        else:
+            line = next(
+                (l for l in proc.stdout.splitlines() if l.startswith("{")), None
+            )
+            if proc.returncode == 0 and line:
+                print(line)
+                return 0
+            print(
+                f"bench attempt {attempt}/{MAX_ATTEMPTS}: child rc="
+                f"{proc.returncode} after {time.time() - t0:.0f}s; stderr tail: "
+                + " | ".join(proc.stderr.splitlines()[-3:]),
+                file=sys.stderr,
+            )
+        if attempt < MAX_ATTEMPTS:
+            time.sleep(BACKOFF)
+    print("bench: all attempts failed — TPU transport unavailable", file=sys.stderr)
+    return 3
 
 
 if __name__ == "__main__":
