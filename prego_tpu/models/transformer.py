@@ -2,14 +2,32 @@
 
 Parity surface: the reference's registered-but-unused "Transformer" model
 (ViTEnc, step_recognition/model/transformer_models/ViT.py:25-160 — the
-OadTR-style zoo; PREGO consumes OadTR predictions as shipped JSONs). Shape
-of the published architecture kept: the feature window is grouped into
-``patch_dim``-frame patches, linearly embedded, a learnable CLS token is
-prepended, learned positional embeddings added, a pre-LN encoder stack
-(MHA + GELU MLP) runs, and the classifier reads the CLS token.
+OadTR-style zoo; PREGO consumes OadTR predictions as shipped JSONs).
+
+Numerics-matched to the reference (oracle-tested in
+tests/test_transformer.py against an independent torch restatement):
+
+  * per-frame features linearly embedded (ViT.py:58,124), a zeros-initialized
+    learnable CLS token APPENDED at the end (ViT.py:131), learned positional
+    embeddings added (PositionalEncoding.py:26-41), then a pre-LN encoder
+    stack: x + drop(attn(LN(x))) and x + mlp(LN(x)) (Transformer.py:49-82),
+    attention with NO qkv bias and scale hd^-0.5 (Attention.py:7-41), GELU
+    MLP, final LayerNorm (ViT.py:79), and the classifier reads token 0 —
+    which, with the CLS token at the END, is the FIRST FRAME's token
+    (ViT.py:138). Kept bug-for-bug: it defines the checkpoint contract.
+  * dropout placement: pe dropout + block-output dropout + both MLP dropouts
+    at cfg.dropout; attention-prob and attention-proj dropouts at
+    cfg.attn_dropout_rate (Transformer.py:23-46, Attention.py:17-19,40).
+
+Deliberate deviation (documented in PARITY.md): the reference declares
+``flatten_dim = patch_dim² × channels`` (ViT.py:55) but its forward never
+reshapes into patches — the Linear is applied to raw (B, T, C) frames
+(ViT.py:124), so any ``patch_dim > 1`` crashes there. We define
+``flatten_dim = patch_dim × channels`` with a real patch reshape; at the
+only functional reference setting (patch_dim=1) the two are identical.
 
 TPU-first: one jitted batched forward for training windows; full-video
-eval materializes per-frame causal windows of the EMBEDDED patches in
+eval materializes per-frame causal windows of the padded features in
 fixed-size chunks (constant memory in video length) — every frame t is
 classified from the window ending at t, strictly causal like the GRU path.
 """
@@ -27,6 +45,15 @@ from prego_tpu.data.features import FEATURE_SIZES
 from prego_tpu.models.miniroad import _linear_init
 
 Params = Dict[str, Any]
+
+
+def _dropout(rng, rate: float, x: jax.Array):
+    """Inverted dropout; returns (next_rng, y)."""
+    if rate <= 0.0:
+        return rng, x
+    rng, sub = jax.random.split(rng)
+    keep = 1.0 - rate
+    return rng, jnp.where(jax.random.bernoulli(sub, keep, x.shape), x / keep, 0.0)
 
 
 @MODELS.register("Transformer")
@@ -48,6 +75,9 @@ class TransformerRecognizer:
         self.hidden_dim = cfg["hidden_dim"]  # MLP width
         self.num_classes = cfg["num_classes"]
         self.dropout = cfg["dropout"]
+        self.attn_dropout = cfg.get("attn_dropout_rate", 0.0)
+        # see module docstring: reference's patch_dim²×C Linear is
+        # non-functional for patch_dim>1; identical at patch_dim=1
         self.flatten_dim = self.patch_dim * self.input_dim
 
     # ---- parameters ----
@@ -65,10 +95,12 @@ class TransformerRecognizer:
             "blocks": [],
         }
         for _ in range(n):
+            qkv = _linear_init(next(ks), E, 3 * E, dtype)
+            del qkv["b"]  # qkv_bias=False (Attention.py:16)
             params["blocks"].append(
                 {
                     "ln1": {"scale": jnp.ones((E,), dtype), "bias": jnp.zeros((E,), dtype)},
-                    "qkv": _linear_init(next(ks), E, 3 * E, dtype),
+                    "qkv": qkv,
                     "proj": _linear_init(next(ks), E, E, dtype),
                     "ln2": {"scale": jnp.ones((E,), dtype), "bias": jnp.zeros((E,), dtype)},
                     "mlp_in": _linear_init(next(ks), E, self.hidden_dim, dtype),
@@ -93,37 +125,43 @@ class TransformerRecognizer:
         x = tokens
         for li, blk in enumerate(params["blocks"]):
             y = self._ln(x, blk["ln1"])
-            qkv = jnp.dot(y, blk["qkv"]["w"], preferred_element_type=jnp.float32) + blk["qkv"]["b"]
+            qkv = jnp.dot(y, blk["qkv"]["w"], preferred_element_type=jnp.float32)
             q, k, v = jnp.split(qkv.reshape(B, S, 3, H, hd), 3, axis=2)
             q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]  # (B, S, H, hd)
             scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
             scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-            if train and self.dropout > 0:
-                rng, sub = jax.random.split(rng)
-                keep = 1.0 - self.dropout
-                probs = jnp.where(
-                    jax.random.bernoulli(sub, keep, probs.shape), probs / keep, 0.0
-                )
+            if train:
+                rng, probs = _dropout(rng, self.attn_dropout, probs)
             attn = jnp.einsum("bhst,bthd->bshd", probs, v, preferred_element_type=jnp.float32)
             attn = attn.reshape(B, S, E).astype(x.dtype)
-            x = x + (
+            out = (
                 jnp.dot(attn, blk["proj"]["w"], preferred_element_type=jnp.float32)
                 + blk["proj"]["b"]
             ).astype(x.dtype)
+            if train:
+                rng, out = _dropout(rng, self.attn_dropout, out)  # proj_drop
+                rng, out = _dropout(rng, self.dropout, out)  # PreNormDrop
+            x = x + out
             y = self._ln(x, blk["ln2"])
             h = jax.nn.gelu(
                 jnp.dot(y, blk["mlp_in"]["w"], preferred_element_type=jnp.float32)
-                + blk["mlp_in"]["b"]
+                + blk["mlp_in"]["b"],
+                approximate=False,  # torch nn.GELU is exact erf (Transformer.py:40)
             )
-            x = x + (
+            if train:
+                rng, h = _dropout(rng, self.dropout, h)
+            out = (
                 jnp.dot(h, blk["mlp_out"]["w"], preferred_element_type=jnp.float32)
                 + blk["mlp_out"]["b"]
             ).astype(x.dtype)
+            if train:
+                rng, out = _dropout(rng, self.dropout, out)
+            x = x + out
         return self._ln(x, params["ln_f"])
 
     def _window_logits(self, params: Params, windows: jax.Array, train: bool, rng) -> jax.Array:
-        """windows: (B, W, D_in) -> (B, K) logits from the CLS token."""
+        """windows: (B, W, D_in) -> (B, K) logits from token 0 (first frame)."""
         B = windows.shape[0]
         patches = windows.reshape(B, self.num_patches, self.flatten_dim)
         emb = (
@@ -131,13 +169,10 @@ class TransformerRecognizer:
             + params["embed"]["b"]
         ).astype(windows.dtype)
         cls = jnp.broadcast_to(params["cls_token"], (B, 1, self.embedding_dim))
-        tokens = jnp.concatenate([cls, emb], axis=1) + params["pos"][None]
-        if train and self.dropout > 0:
-            rng, sub = jax.random.split(rng)
-            keep = 1.0 - self.dropout
-            tokens = jnp.where(
-                jax.random.bernoulli(sub, keep, tokens.shape), tokens / keep, 0.0
-            )
+        # CLS appended LAST (ViT.py:131); readout below is token 0 (ViT.py:138)
+        tokens = jnp.concatenate([emb, cls], axis=1) + params["pos"][None]
+        if train:
+            rng, tokens = _dropout(rng, self.dropout, tokens)  # pe_dropout
         enc = self._encoder(params, tokens, train, rng)
         cls_out = enc[:, 0]
         return (

@@ -1,9 +1,12 @@
-"""Transformer (ViT-encoder) recognizer: shapes, causality, training."""
+"""Transformer (ViT-encoder) recognizer: torch-oracle numerics parity with
+the reference ViTEnc (step_recognition/model/transformer_models/ViT.py:25-160,
+Transformer.py:1-82, Attention.py:7-41), plus shapes, causality, training."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import torch
 
 from prego_tpu.core import RecognitionConfig
 from prego_tpu.models.transformer import TransformerRecognizer
@@ -72,6 +75,89 @@ def test_full_eval_causal_and_matches_windows(model_and_params, rng):
         np.asarray(scores[:, :30]), np.asarray(scores2[:, :30]), rtol=1e-4, atol=1e-5
     )
     assert not np.allclose(np.asarray(scores[:, 35]), np.asarray(scores2[:, 35]))
+
+
+# -------- torch oracle: independent restatement of the ViTEnc math --------
+#
+# Published architecture at its only functional setting (patch_dim=1; see
+# the deviation note in prego_tpu/models/transformer.py): per-frame Linear
+# embed, CLS token appended at the END, learned positional embeddings,
+# depth x [x + drop(attn(LN(x))), x + mlp(LN(x))] with bias-free qkv and
+# exact-erf GELU, final LayerNorm, classifier on token 0 (the first frame).
+
+
+def _torch_vit_forward(params, x, num_heads):
+    """x: (B, T, C) float32 -> (B, K) logits. Eval mode (no dropout)."""
+    t = lambda a: torch.tensor(np.asarray(a, np.float32))
+    lin = lambda h, p: h @ t(p["w"]) + t(p["b"])
+    ln = lambda h, p: torch.nn.functional.layer_norm(
+        h, h.shape[-1:], t(p["scale"]), t(p["bias"]), eps=1e-5
+    )
+
+    x = lin(torch.tensor(x), params["embed"])  # (B, T, E)
+    B, T, E = x.shape
+    cls = t(params["cls_token"]).expand(B, -1, -1)
+    x = torch.cat([x, cls], dim=1)  # CLS LAST (ViT.py:131)
+    x = x + t(params["pos"])[None]
+    N = T + 1
+    H = num_heads
+    hd = E // H
+    for blk in params["blocks"]:
+        y = ln(x, blk["ln1"])
+        qkv = (y @ t(blk["qkv"]["w"])).reshape(B, N, 3, H, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = torch.softmax((q @ k.transpose(-2, -1)) * hd**-0.5, dim=-1)
+        o = (attn @ v).transpose(1, 2).reshape(B, N, E)
+        x = x + lin(o, blk["proj"])
+        y = ln(x, blk["ln2"])
+        x = x + lin(torch.nn.functional.gelu(lin(y, blk["mlp_in"])), blk["mlp_out"])
+    x = ln(x, params["ln_f"])
+    return lin(x[:, 0], params["head"])  # token 0 = first frame (ViT.py:138)
+
+
+def test_vitenc_oracle_parity(rng):
+    cfg = RecognitionConfig.from_dict(
+        {**CFG.to_dict(), "patch_dim": 1, "window_size": 12}
+    )
+    m = TransformerRecognizer(cfg)
+    params = m.init(jax.random.PRNGKey(7))
+    B, T = 4, 12
+    rgb = rng.normal(0, 1, (B, T, m.rgb_dim)).astype(np.float32)
+    flow = rng.normal(0, 1, (B, T, m.flow_dim)).astype(np.float32)
+
+    ours = np.asarray(
+        m._window_logits(
+            params, jnp.concatenate([jnp.asarray(rgb), jnp.asarray(flow)], -1), False, None
+        )
+    )
+    theirs = _torch_vit_forward(params, np.concatenate([rgb, flow], -1), m.num_heads)
+    np.testing.assert_allclose(ours, theirs.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_vitenc_readout_is_first_frame_token(rng):
+    """The reference reads x[:, 0] with the CLS token appended at the END —
+    so zeroing the FIRST frame (with a single identity-ish layer) must move
+    the logits more than zeroing the last frame does not; concretely, the
+    readout token must be position 0, not the CLS position."""
+    cfg = RecognitionConfig.from_dict(
+        {**CFG.to_dict(), "patch_dim": 1, "window_size": 8, "dropout": 0.0,
+         "num_layers": 0}
+    )
+    m = TransformerRecognizer(cfg)
+    params = m.init(jax.random.PRNGKey(1))
+    B, T = 2, 8
+    x = rng.normal(0, 1, (B, T, m.input_dim)).astype(np.float32)
+    base = np.asarray(m._window_logits(params, jnp.asarray(x), False, None))
+    # with zero encoder depth, logits = head(ln_f(embed(frame0) + pos0)):
+    # changing any OTHER frame cannot move them
+    x2 = x.copy()
+    x2[:, 1:] += 3.0
+    same = np.asarray(m._window_logits(params, jnp.asarray(x2), False, None))
+    np.testing.assert_allclose(base, same, rtol=1e-6)
+    x3 = x.copy()
+    x3[:, 0] += 3.0
+    moved = np.asarray(m._window_logits(params, jnp.asarray(x3), False, None))
+    assert not np.allclose(base, moved)
 
 
 def test_transformer_trains(model_and_params, rng):
