@@ -392,16 +392,26 @@ class Llama:
         temperature: float = 0.6,
         top_p: float = 0.9,
         max_gen_len: Optional[int] = None,
+        logprobs: bool = False,
     ) -> List[Dict]:
         """LLaMA-2 chat format (generation.py:284-395): [INST]/<<SYS>> tag
         assembly, system folded into the first user turn, per-exchange
-        bos/eos, final user turn left open for the assistant."""
+        bos/eos, final user turn left open for the assistant. Dialogs whose
+        content injects any SPECIAL_TAG get UNSAFE_ERROR as the generation
+        (generation.py:47-48,324-327,379-393); logprobs passthrough mirrors
+        text_completion."""
         B_INST, E_INST = "[INST]", "[/INST]"
         B_SYS, E_SYS = "<<SYS>>\n", "\n<</SYS>>\n\n"
+        SPECIAL_TAGS = [B_INST, E_INST, "<<SYS>>", "<</SYS>>"]
+        UNSAFE_ERROR = "Error: special tags are not allowed as part of the prompt."
         if max_gen_len is None:
             max_gen_len = self.config.max_seq_len - 1
         prompt_tokens = []
+        unsafe_requests = []
         for dialog in dialogs:
+            unsafe_requests.append(
+                any(tag in msg["content"] for tag in SPECIAL_TAGS for msg in dialog)
+            )
             if dialog[0]["role"] == "system":
                 dialog = [
                     {
@@ -425,11 +435,32 @@ class Llama:
                 f"{B_INST} {dialog[-1]['content'].strip()} {E_INST}", bos=True, eos=False
             )
             prompt_tokens.append(toks)
-        generation_tokens, _ = self.generate(
+        generation_tokens, generation_logprobs = self.generate(
             prompt_tokens, max_gen_len=max_gen_len,
-            temperature=temperature, top_p=top_p,
+            temperature=temperature, top_p=top_p, logprobs=logprobs,
         )
+        if logprobs:
+            return [
+                {
+                    "generation": {
+                        "role": "assistant",
+                        "content": self.tokenizer.decode(t)
+                        if not unsafe
+                        else UNSAFE_ERROR,
+                    },
+                    "tokens": [self.tokenizer.decode([x]) for x in t],
+                    "logprobs": lp,
+                }
+                for t, lp, unsafe in zip(
+                    generation_tokens, generation_logprobs, unsafe_requests
+                )
+            ]
         return [
-            {"generation": {"role": "assistant", "content": self.tokenizer.decode(t)}}
-            for t in generation_tokens
+            {
+                "generation": {
+                    "role": "assistant",
+                    "content": self.tokenizer.decode(t) if not unsafe else UNSAFE_ERROR,
+                }
+            }
+            for t, unsafe in zip(generation_tokens, unsafe_requests)
         ]
