@@ -34,3 +34,37 @@ def test_sp_prefill_matches_single(rng):
     d1, _ = forward(params, nxt, jnp.int32(S), sp_cache, CFG)
     d0, _ = forward(params, nxt, jnp.int32(S), ref_cache, CFG)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=2e-4, atol=2e-4)
+
+
+def test_sp_cache_sharding_scales_memory(rng):
+    """Per-device cache bytes must shrink with sp-degree when the cache stays
+    sharded (sequence: /8 on the 8-way axis; heads: /2 with 2 kv heads on a
+    2-way axis), and equal the full size when replicated for decode handoff."""
+    params = init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    B, S = 2, 64
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (B, S)).astype(np.int32))
+
+    cases = [
+        ("sequence", make_mesh([("sp", 8)]), 8),
+        ("heads", make_mesh([("sp", 2)]), 2),  # kv_heads=2 caps the heads split
+        ("replicated", make_mesh([("sp", 8)]), 1),
+    ]
+    ref = None
+    for mode, mesh, shrink in cases:
+        sp_prefill = make_sp_prefill(CFG, mesh, cache_sharding=mode)
+        cache = init_cache(CFG, B, dtype=jnp.float32)
+        logits, out_cache = sp_prefill(params, tokens, jnp.int32(0), cache)
+        if ref is None:
+            ref = np.asarray(logits)
+        else:  # numerics identical across cache layouts
+            np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-4, atol=2e-4)
+        leaf = out_cache["k"][0]
+        per_device = leaf.addressable_shards[0].data.nbytes
+        assert per_device * shrink == leaf.nbytes, (mode, per_device, leaf.nbytes)
+
+
+def test_sp_prefill_rejects_unknown_cache_sharding():
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_sp_prefill(CFG, make_mesh([("sp", 8)]), cache_sharding="diagonal")
