@@ -41,10 +41,23 @@ class OnlineRecognizer:
         self.model = model
         self.params = params
         self.batch = batch
+        self.flow_is_zero = flow_is_zero
         self.hidden = model.init_hidden(batch)
         self._step = jax.jit(
             lambda p, r, f, h: model.forward_step(p, r, f, h, flow_is_zero=flow_is_zero)
         )
+
+        def scan_block(p, rgb_block, flow_block, hidden):
+            def body(h, xs):
+                scores, h = model.forward_step(
+                    p, xs[0], xs[1], h, flow_is_zero=flow_is_zero
+                )
+                return h, jnp.argmax(scores, axis=-1)
+
+            hidden, ids = jax.lax.scan(body, hidden, (rgb_block, flow_block))
+            return ids, hidden
+
+        self._scan_block = jax.jit(scan_block)
 
     def step(self, rgb: np.ndarray, flow: Optional[np.ndarray] = None) -> np.ndarray:
         """rgb: (B, D_rgb) one frame per stream -> argmax class ids (B,)."""
@@ -54,6 +67,23 @@ class OnlineRecognizer:
             self.params, jnp.asarray(rgb), jnp.asarray(flow), self.hidden
         )
         return np.argmax(np.asarray(scores), axis=-1)
+
+    def step_block(
+        self, rgb: np.ndarray, flow: Optional[np.ndarray] = None
+    ) -> np.ndarray:
+        """N buffered frames per stream in ONE device dispatch.
+
+        rgb: (N, B, D_rgb) -> argmax class ids (N, B). Identical math to N
+        `step` calls (lax.scan over the same forward_step) but pays one
+        host->device round trip instead of N — the online path is otherwise
+        RTT-bound on remote-attached accelerators.
+        """
+        if flow is None:
+            flow = np.zeros((*rgb.shape[:2], self.model.flow_dim), np.float32)
+        ids, self.hidden = self._scan_block(
+            self.params, jnp.asarray(rgb), jnp.asarray(flow), self.hidden
+        )
+        return np.asarray(ids)
 
     def reset(self, stream: Optional[int] = None) -> None:
         if stream is None:
@@ -101,6 +131,37 @@ class OnlineAggregator:
         return None
 
 
+def _make_detector_block_fn(model: MiniROAD, flow_is_zero: bool, window_size: int):
+    """One-dispatch micro-batch: GRU step + windowed majority vote fused in a
+    single jitted lax.scan, aggregator state (counts, in-window fill) carried
+    on device. Emits per-frame (window_completed, winner); the cheap dedup +
+    LLM trigger stay on host. jnp.argmax picks the lowest index on ties,
+    matching the np.bincount-argmax parity rule (utils/aggregate.py:69-70)."""
+
+    def block_fn(params, rgb_block, flow_block, hidden, counts, in_window):
+        # rgb_block: (N, B, D); counts: (B, K) int32; in_window: (B,) int32
+        def body(carry, xs):
+            hidden, counts, in_w = carry
+            scores, hidden = model.forward_step(
+                params, xs[0], xs[1], hidden, flow_is_zero=flow_is_zero
+            )
+            cls = jnp.argmax(scores, axis=-1)  # (B,)
+            counts = counts.at[jnp.arange(counts.shape[0]), cls].add(1)
+            in_w = in_w + 1
+            completed = in_w >= window_size
+            winner = jnp.argmax(counts, axis=-1)
+            counts = jnp.where(completed[:, None], 0, counts)
+            in_w = jnp.where(completed, 0, in_w)
+            return (hidden, counts, in_w), (cls, completed, winner)
+
+        (hidden, counts, in_w), out = jax.lax.scan(
+            body, (hidden, counts, in_window), (rgb_block, flow_block)
+        )
+        return out, hidden, counts, in_w
+
+    return jax.jit(block_fn)
+
+
 @dataclass
 class MistakeEvent:
     frame_index: int
@@ -145,6 +206,7 @@ class OnlineMistakeDetector:
         self.cleaning_mode = cleaning_mode
         self.frame_index = 0
         self.events: List[MistakeEvent] = []
+        self._block_fn = None  # built lazily on first push_frames
 
     def _check_step(self, step: int) -> MistakeEvent:
         seq = self.aggregator.sequence
@@ -180,6 +242,52 @@ class OnlineMistakeDetector:
         if new_step is None:
             return None
         return self._check_step(new_step)
+
+    def push_frames(
+        self, rgb_block: np.ndarray, flow_block: Optional[np.ndarray] = None
+    ) -> List[MistakeEvent]:
+        """N buffered frames in ONE device dispatch (micro-batch serving).
+
+        rgb_block: (N, D_rgb). Identical semantics to N push_frame calls —
+        the GRU step and the windowed majority vote run fused in a single
+        jitted scan with the aggregator state carried on device; only the
+        consecutive-dedup and the LLM anticipation calls happen on host.
+        This decouples single-stream serving throughput from the per-frame
+        host<->device round-trip (the per-frame path pays one RTT per frame).
+        """
+        if self._block_fn is None:
+            self._block_fn = _make_detector_block_fn(
+                self.recognizer.model,
+                self.recognizer.flow_is_zero,
+                self.aggregator.window_size,
+            )
+        N = rgb_block.shape[0]
+        rgb = jnp.asarray(rgb_block[:, None, :])
+        if flow_block is None:
+            flow = jnp.zeros((N, 1, self.recognizer.model.flow_dim), jnp.float32)
+        else:
+            flow = jnp.asarray(flow_block[:, None, :])
+        counts = jnp.asarray(self.aggregator.counts[None, :].astype(np.int32))
+        in_w = jnp.asarray([self.aggregator.in_window], np.int32)
+        (cls_seq, completed, winner), hidden, counts, in_w = self._block_fn(
+            self.recognizer.params, rgb, flow, self.recognizer.hidden, counts, in_w
+        )
+        self.recognizer.hidden = hidden
+        # one bundled device->host fetch (each separate fetch would pay an RTT)
+        completed, winner, counts, in_w = jax.device_get(
+            (completed[:, 0], winner[:, 0], counts[0], in_w[0])
+        )
+        self.aggregator.counts[:] = counts
+        self.aggregator.in_window = int(in_w)
+        events: List[MistakeEvent] = []
+        for t in range(N):
+            self.frame_index += 1
+            if completed[t]:
+                w = int(winner[t])
+                if not self.aggregator.sequence or self.aggregator.sequence[-1] != w:
+                    self.aggregator.sequence.append(w)
+                    events.append(self._check_step(w))
+        return events
 
     def finish(self) -> Optional[MistakeEvent]:
         """Flush the trailing partial window at end of stream."""

@@ -80,6 +80,69 @@ def test_online_detector_end_to_end(rng):
         assert isinstance(ev.anticipated, set) and ev.anticipated
 
 
+def test_step_block_matches_per_frame(rng):
+    model = MiniROAD(CFG)
+    params = model.init(jax.random.PRNGKey(5))
+    T, B = 24, 2
+    frames = rng.normal(0, 1, (T, B, model.rgb_dim)).astype(np.float32)
+
+    rec1 = OnlineRecognizer(model, params, batch=B, flow_is_zero=True)
+    per_frame = np.stack([rec1.step(frames[t]) for t in range(T)])
+
+    rec2 = OnlineRecognizer(model, params, batch=B, flow_is_zero=True)
+    blocked = np.concatenate(
+        [rec2.step_block(frames[:10]), rec2.step_block(frames[10:])]
+    )
+    np.testing.assert_array_equal(per_frame, blocked)
+    for h1, h2 in zip(rec1.hidden, rec2.hidden):
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-6)
+
+
+def test_push_frames_matches_push_frame(rng):
+    """Micro-batch serving (one dispatch per block, aggregator state carried
+    on device) must produce byte-identical events to the per-frame path,
+    including across block boundaries that split aggregation windows."""
+
+    def run(det, frames, block):
+        events = []
+        if block == 1:
+            for t in range(len(frames)):
+                ev = det.push_frame(frames[t])
+                if ev is not None:
+                    events.append(ev)
+        else:
+            for t0 in range(0, len(frames), block):
+                events.extend(det.push_frames(frames[t0 : t0 + block]))
+        tail = det.finish()
+        if tail is not None:
+            events.append(tail)
+        return events
+
+    model = MiniROAD(CFG)
+    params = model.init(jax.random.PRNGKey(6))
+    T = 47
+    frames = rng.normal(0, 1, (T, model.rgb_dim)).astype(np.float32)
+
+    def make_det():
+        rec = OnlineRecognizer(model, params, batch=1, flow_is_zero=True)
+        return OnlineMistakeDetector(
+            rec, FakeLLM(), context="", toy="t1", type_prompt="num",
+            window_size=10, temperature=0.0,
+        )
+
+    base_det = make_det()
+    base = run(base_det, frames, block=1)
+    for block in (7, 10, 47):  # window-splitting, window-aligned, whole-stream
+        det = make_det()
+        got = run(det, frames, block=block)
+        assert det.aggregator.sequence == base_det.aggregator.sequence
+        assert len(got) == len(base)
+        for a, b in zip(got, base):
+            assert (a.frame_index, a.step, a.history, a.anticipated, a.is_mistake) == (
+                b.frame_index, b.step, b.history, b.anticipated, b.is_mistake
+            )
+
+
 def test_recognizer_per_stream_reset(rng):
     model = MiniROAD(CFG)
     params = model.init(jax.random.PRNGKey(2))
