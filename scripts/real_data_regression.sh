@@ -1,0 +1,84 @@
+#!/usr/bin/env bash
+# One-command real-data regression: import reference assets -> train -> eval
+# -> schema-check per-frame JSON -> aggregate -> schema-check aggregated ->
+# anticipate -> one-class F1.
+#
+# Requires the real TSN feature trees (not shipped in this image). The moment
+# assets are mounted this is a single invocation:
+#
+#   FEATURES_ROOT=/data/assembly101 ./scripts/real_data_regression.sh
+#
+# Env knobs:
+#   REFERENCE      reference PREGO checkout for data assets  [/root/reference]
+#   FEATURES_ROOT  root of the {rgb,flow,target}_perframe .npy trees (REQUIRED)
+#   DATASET        assembly101-O | epic-tent-O                [assembly101-O]
+#   WORKDIR        output workspace                           [regression_out]
+#   LLM            fake | hf | jax-llama                      [fake]
+#   CKPT_DIR, TOKENIZER   required when LLM=jax-llama
+set -euo pipefail
+
+REFERENCE=${REFERENCE:-/root/reference}
+FEATURES_ROOT=${FEATURES_ROOT:?set FEATURES_ROOT to the TSN feature tree}
+DATASET=${DATASET:-assembly101-O}
+WORKDIR=${WORKDIR:-regression_out}
+LLM=${LLM:-fake}
+case "$DATASET" in
+  assembly101-O) ANT_DATASET=assembly ;;
+  epic-tent-O)   ANT_DATASET=epictent ;;
+  *) echo "unknown DATASET=$DATASET" >&2; exit 2 ;;
+esac
+
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+cd "$REPO"
+mkdir -p "$WORKDIR"
+
+echo "== 1/6 import reference data assets =="
+python -m prego_tpu.cli.import_reference_data \
+  --reference "$REFERENCE" --dest "$WORKDIR" --link
+
+echo "== 2/6 train recognition (10 epochs, reference hyperparameters) =="
+python -m prego_tpu.cli.train \
+  --config "configs/miniroad_${DATASET}.yaml" \
+  --root_path "$FEATURES_ROOT" \
+  --video_list_path "$WORKDIR/data_info/video_list.json" \
+  --output_path "$WORKDIR/out"
+
+CKPT=$(ls "$WORKDIR"/out/*/ckpts/best_*.ckpt | head -1)
+echo "== 3/6 eval + per-frame JSON export (ckpt: $CKPT) =="
+python -m prego_tpu.cli.train \
+  --config "configs/miniroad_${DATASET}.yaml" \
+  --root_path "$FEATURES_ROOT" \
+  --video_list_path "$WORKDIR/data_info/video_list.json" \
+  --output_path "$WORKDIR/out" \
+  --eval "$CKPT" --eval_output_dir "$WORKDIR/preds"
+
+python -m prego_tpu.cli.schema_check perframe "$WORKDIR/preds/output_miniROAD.json" \
+  --against "$REFERENCE/output_miniRoad/output_miniROAD.json" || true
+# (--against key-set check only applies when evaluating the same split the
+# reference exported; structural validation above is unconditional)
+python -m prego_tpu.cli.schema_check perframe "$WORKDIR/preds/output_miniROAD.json"
+
+echo "== 4/6 aggregate =="
+python -m prego_tpu.aggregate \
+  "$WORKDIR/preds/output_miniROAD.json" "$WORKDIR/aggregated.json"
+python -m prego_tpu.cli.schema_check aggregated "$WORKDIR/aggregated.json"
+
+echo "== 5/6 aggregation byte-parity on the reference's own shipped input =="
+python -m prego_tpu.aggregate \
+  "$REFERENCE/output_miniRoad/output_miniROAD.json" "$WORKDIR/agg_ref_input.json"
+python -m prego_tpu.cli.schema_check aggregated "$WORKDIR/agg_ref_input.json" \
+  --against "$REFERENCE/data/output/aggregated_data.json" --exact
+
+echo "== 6/6 anticipation + one-class mistake F1 (LLM=$LLM) =="
+ANT_ARGS=(--llm "$LLM" --dataset "$ANT_DATASET"
+          --data_root "$WORKDIR/step_anticipation/data"
+          --seqs "$WORKDIR/aggregated.json"
+          --results_root "$WORKDIR/results")
+if [ "$LLM" = "jax-llama" ]; then
+  ANT_ARGS+=(--ckpt_dir "${CKPT_DIR:?}" --tokenizer_path "${TOKENIZER:?}"
+             --num_samples 5 --max_gen_len 8 --max_seq_len 2048
+             --type_prompt emoji)
+fi
+python -m prego_tpu.cli.anticipate "${ANT_ARGS[@]}"
+
+echo "regression complete — metrics under $WORKDIR/results/"
