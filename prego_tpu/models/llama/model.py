@@ -94,15 +94,21 @@ def init_cache(config: LlamaConfig, batch: int, dtype=jnp.bfloat16) -> Cache:
 
 # ---- building blocks ----
 
-def quantize_params(params: Params) -> Params:
+def quantize_params(params: Params, activations: bool = False) -> Params:
     """Weight-only int8 for all dense projections (embeddings/norms stay
     bf16). Quantized leaves are {"q": int8 (K, N), "s": f32 (1, N)} and are
-    consumed transparently by the forward (see _dense)."""
+    consumed transparently by the forward (see _dense). With
+    activations=True the forward additionally quantizes each projection's
+    input per-token so the matmuls run int8 x int8 -> int32 on the MXU
+    (leaf gains "act": True)."""
     from prego_tpu.ops.quant import quantize_weight
 
     def quant(leaf):
         q, s = quantize_weight(leaf)
-        return {"q": q, "s": s}
+        out = {"q": q, "s": s}
+        if activations:
+            out["act"] = True
+        return out
 
     out = {
         "tok_embeddings": params["tok_embeddings"],
@@ -158,11 +164,24 @@ def _dense(x: jax.Array, leaf) -> jax.Array:
     {"q","s"} leaves stream through the dequantizing Pallas matmul on TPU
     (XLA dequant fallback elsewhere). Returns f32."""
     if isinstance(leaf, dict) and "q" in leaf:
-        from prego_tpu.ops.quant import int8_matmul, int8_matmul_reference
+        from prego_tpu.ops.quant import (
+            int8_matmul,
+            int8_matmul_reference,
+            int8xint8_matmul,
+            int8xint8_matmul_reference,
+            quantize_activations,
+        )
 
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        if jax.default_backend() == "tpu":
+        on_tpu = jax.default_backend() == "tpu"
+        if leaf.get("act", False):  # int8 x int8 -> int32 MXU path
+            xq, xs = quantize_activations(x2)
+            if on_tpu:
+                y = int8xint8_matmul(xq, xs, leaf["q"], leaf["s"])
+            else:
+                y = int8xint8_matmul_reference(xq, xs, leaf["q"], leaf["s"])
+        elif on_tpu:
             y = int8_matmul(x2, leaf["q"], leaf["s"])
         else:
             y = int8_matmul_reference(x2, leaf["q"], leaf["s"])

@@ -83,3 +83,80 @@ def int8_matmul_reference(x, q, scale):
         x.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ) * scale[0]
+
+
+# ---------------- int8 x int8 (activation quant) ----------------
+
+
+def quantize_activations(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic per-row (per-token) symmetric int8. x: (M, K) -> (q, scale (M, 1)).
+
+    Weight-only int8 still pays a VPU dequant-to-bf16 per tile; quantizing
+    the activations too lets the MXU run int8 x int8 -> int32 natively
+    (2x MXU throughput tier) and the rescale collapses to one f32 multiply
+    per output element: y = (xq @ wq) * (x_scale * w_scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)  # (M, 1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _int8xint8_matmul_kernel(xq_ref, xs_ref, q_ref, s_ref, out_ref):
+    acc = jax.lax.dot_general(
+        xq_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = acc.astype(jnp.float32) * xs_ref[:] * s_ref[0, :]
+
+
+def int8xint8_matmul(
+    xq: jax.Array,  # (M, K) int8
+    x_scale: jax.Array,  # (M, 1) f32
+    q: jax.Array,  # (K, N) int8
+    scale: jax.Array,  # (1, N) f32
+    n_block: int = 512,
+    m_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns dequant(xq) @ dequant(q) as (M, N) f32 with int32 MXU
+    accumulation. Same tiling scheme as int8_matmul."""
+    M, K = xq.shape
+    N = q.shape[1]
+    if N % n_block != 0:
+        n_block = N
+    M_pad = M
+    if M > m_block:
+        M_pad = ((M + m_block - 1) // m_block) * m_block
+        if M_pad != M:
+            xq = jnp.pad(xq, ((0, M_pad - M), (0, 0)))
+            x_scale = jnp.pad(x_scale, ((0, M_pad - M), (0, 0)))
+    else:
+        m_block = M
+    grid = (M_pad // m_block, N // n_block)
+    out = pl.pallas_call(
+        _int8xint8_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_block, K), lambda m, n: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_block, 1), lambda m, n: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, n_block), lambda m, n: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_block), lambda m, n: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (m_block, n_block), lambda m, n: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), jnp.float32),
+        interpret=interpret,
+    )(xq, x_scale, q, scale)
+    return out[:M] if M_pad != M else out
+
+
+def int8xint8_matmul_reference(xq, x_scale, q, scale):
+    acc = jax.lax.dot_general(
+        xq.astype(jnp.int32), q.astype(jnp.int32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * x_scale * scale[0]

@@ -35,6 +35,27 @@ def test_int8_matmul_kernel_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
 
 
+def test_int8xint8_kernel_matches_reference(rng):
+    from prego_tpu.ops.quant import (
+        int8xint8_matmul,
+        int8xint8_matmul_reference,
+        quantize_activations,
+    )
+
+    M, K, N = 8, 128, 512
+    x = jnp.asarray(rng.normal(0, 1, (M, K)).astype(np.float32))
+    w = rng.normal(0, 0.05, (K, N)).astype(np.float32)
+    q, s = quantize_weight(jnp.asarray(w))
+    xq, xs = quantize_activations(x)
+    ref = int8xint8_matmul_reference(xq, xs, q, s)
+    got = int8xint8_matmul(xq, xs, q, s, n_block=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # and the quantized product tracks the true product
+    true = x @ jnp.asarray(w)
+    err = np.abs(np.asarray(ref) - np.asarray(true))
+    assert np.median(err / np.maximum(np.abs(np.asarray(true)), 1e-3)) < 0.05
+
+
 def test_quantized_forward_close_and_greedy_mostly_agrees(rng):
     tok = ByteTokenizer()
     cfg = tiny_test_config(vocab_size=tok.n_words)
