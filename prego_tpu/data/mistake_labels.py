@@ -103,7 +103,11 @@ def load_procedure(path: str) -> Procedure:
             np.concatenate([verb_to_onehot(row["verb"]), parts_to_onehot(row["this"], row["that"])])
         )
         labels.append(label_to_onehot(row["label"]))
-        keysteps.append(f"{row['verb']}-{row['this']}-{row['that']}")
+        # assembly_text.py:49-55 parity: spaces removed inside each field,
+        # fields joined with "-"
+        keysteps.append(
+            "-".join(row[k].replace(" ", "") for k in ("verb", "this", "that")).strip()
+        )
     is_correct = int(all(r["label"] == "correct" for r in rows))
     return Procedure(
         oh_sample=np.stack(samples) if samples else np.zeros((0, SAMPLE_DIM), np.float32),
