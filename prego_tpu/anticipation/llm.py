@@ -79,7 +79,10 @@ class HFPipelineLLM:
     honours the same no-echo contract.
     """
 
-    def __init__(self, model_name: str, device_map: str = "auto"):
+    def __init__(self, model_name: str, device_map: str = "auto", pipe=None):
+        if pipe is not None:  # injected prebuilt pipeline (tests, local models)
+            self.pipe = pipe
+            return
         from transformers import pipeline  # lazy: heavy import
 
         self.pipe = pipeline(

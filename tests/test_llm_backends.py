@@ -1,0 +1,141 @@
+"""Hermetic tests for the HF-pipeline and Ollama LLM backends.
+
+HFPipelineLLM runs against an in-memory random tiny transformers Llama +
+a programmatically-built WordLevel tokenizer (no downloads); OllamaLLM runs
+against a local fake Ollama HTTP server that validates the request schema
+(llm_ollama.py:120-131 parity: system message forcing a single number,
+stream=False, options passthrough)."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+
+# ---------------- HFPipelineLLM ----------------
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_pipeline():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    vocab = {str(i): i for i in range(50)}
+    vocab.update({"[UNK]": 50, "[PAD]": 51, ",": 52, "-1": 53})
+    tok = Tokenizer(WordLevel(vocab, unk_token="[UNK]"))
+    tok.pre_tokenizer = Whitespace()
+    fast = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="[UNK]", pad_token="[PAD]"
+    )
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=len(vocab), hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+    return transformers.pipeline(
+        "text-generation", model=model, tokenizer=fast, device="cpu"
+    )
+
+
+def test_hf_pipeline_llm_no_echo_and_determinism(tiny_hf_pipeline):
+    from prego_tpu.anticipation.llm import HFPipelineLLM
+
+    llm = HFPipelineLLM("unused", pipe=tiny_hf_pipeline)
+    prompts = ["1 , 2 , 3", "7 , 7"]
+    out = llm.text_completion(prompts, max_gen_len=4, temperature=0.0)
+    assert len(out) == 2
+    for o, p in zip(out, prompts):
+        assert isinstance(o["generation"], str)
+        assert not o["generation"].startswith(p)  # prompt echo stripped
+    # greedy is deterministic
+    again = llm.text_completion(prompts, max_gen_len=4, temperature=0.0)
+    assert [o["generation"] for o in out] == [o["generation"] for o in again]
+
+
+def test_hf_pipeline_llm_drives_anticipation(tiny_hf_pipeline):
+    from prego_tpu.anticipation import run_anticipation
+    from prego_tpu.anticipation.llm import HFPipelineLLM
+
+    llm = HFPipelineLLM("unused", pipe=tiny_hf_pipeline)
+    seqs = {"v0": {"pred": [1, 2, 3], "gt": [1, 2]}}
+    result = run_anticipation(
+        seqs, llm, dataset="custom", num_samples=1, temperature=0.0,
+        max_gen_len=3, type_prompt="num", cleaning_mode="hf",
+    )
+    assert len(result.preds["v0"]) == 3  # one anticipated-set per step
+    assert result.metrics is not None
+
+
+# ---------------- OllamaLLM ----------------
+
+
+class _FakeOllamaHandler(BaseHTTPRequestHandler):
+    requests_seen = []
+
+    def do_POST(self):
+        assert self.path == "/api/chat"
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        type(self).requests_seen.append(body)
+        reply = {"message": {"role": "assistant", "content": "42"}}
+        data = json.dumps(reply).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):  # keep test output clean
+        pass
+
+
+@pytest.fixture
+def fake_ollama():
+    _FakeOllamaHandler.requests_seen = []
+    server = HTTPServer(("127.0.0.1", 0), _FakeOllamaHandler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def test_ollama_llm_request_schema_and_responses(fake_ollama):
+    from prego_tpu.anticipation.llm import OllamaLLM
+
+    llm = OllamaLLM("llama3.2:1b", host=fake_ollama)
+    out = llm.text_completion(
+        ["what comes after 1, 2?", "and after 3?"],
+        max_gen_len=8, temperature=0.3, top_p=0.85,
+    )
+    assert [o["generation"] for o in out] == ["42", "42"]
+
+    reqs = _FakeOllamaHandler.requests_seen
+    assert len(reqs) == 2
+    for r in reqs:
+        assert r["model"] == "llama3.2:1b"
+        assert r["stream"] is False
+        assert r["messages"][0]["role"] == "system"
+        assert "one and only one number" in r["messages"][0]["content"]
+        assert r["messages"][1]["role"] == "user"
+        assert r["options"] == {"temperature": 0.3, "top_p": 0.85, "num_predict": 8}
+
+
+def test_ollama_llm_drives_anticipation(fake_ollama):
+    from prego_tpu.anticipation import run_anticipation
+    from prego_tpu.anticipation.llm import OllamaLLM
+
+    llm = OllamaLLM("m", host=fake_ollama)
+    seqs = {"v0": {"pred": [41, 42, 7], "gt": [41, 42]}}
+    result = run_anticipation(
+        seqs, llm, dataset="custom", num_samples=1, temperature=0.0,
+        max_gen_len=3, type_prompt="num",
+    )
+    # the fake server always anticipates 42 (cleaned to the int symbol)
+    assert all(42 in s for s in result.preds["v0"])
+    assert result.metrics is not None
