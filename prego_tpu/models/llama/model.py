@@ -107,7 +107,9 @@ def quantize_params(params: Params, activations: bool = False) -> Params:
         q, s = quantize_weight(leaf)
         out = {"q": q, "s": s}
         if activations:
-            out["act"] = True
+            # structural marker, not a leaf: an empty tuple adds no pytree
+            # leaves, so it is never traced under jit nor touched by tree maps
+            out["act"] = ()
         return out
 
     out = {
@@ -175,7 +177,7 @@ def _dense(x: jax.Array, leaf) -> jax.Array:
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
         on_tpu = jax.default_backend() == "tpu"
-        if leaf.get("act", False):  # int8 x int8 -> int32 MXU path
+        if "act" in leaf:  # int8 x int8 -> int32 MXU path
             xq, xs = quantize_activations(x2)
             if on_tpu:
                 y = int8xint8_matmul(xq, xs, leaf["q"], leaf["s"])

@@ -1,0 +1,164 @@
+"""Reproducible LLM decode + online-serving benchmarks (one JSON line per case).
+
+Companion to the repo-root bench.py (recognition throughput): these are the
+RESULTS.md rows for the anticipation/serving side, measured the tunnel-safe
+way (whole decode inside one jitted while_loop; sync via a scalar checksum
+fetch because block_until_ready is a no-op on the tunneled platform).
+
+  python scripts/bench_llm.py --case decode_b8            # 1B-class, bf16
+  python scripts/bench_llm.py --case decode_b8_int8
+  python scripts/bench_llm.py --case decode_b8_int8x8
+  python scripts/bench_llm.py --case decode_b1
+  python scripts/bench_llm.py --case online_microbatch    # frames/s, 1 stream
+  python scripts/bench_llm.py --case online_perframe
+  python scripts/bench_llm.py --all [--tiny]              # --tiny: CPU smoke
+
+Each case prints {"case", "value", "unit", ...}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _watchdog(seconds: float):
+    def trip():
+        print(f"bench_llm watchdog: hung for {seconds:.0f}s", file=sys.stderr)
+        os._exit(3)
+
+    t = threading.Timer(seconds, trip)
+    t.daemon = True
+    t.start()
+
+
+def _llama(tiny: bool, quantize: str):
+    import jax
+    import jax.numpy as jnp
+
+    from prego_tpu.models.llama import ByteTokenizer, Llama, LlamaConfig, init_params
+    from prego_tpu.models.llama.model import fuse_projections, quantize_params
+
+    tok = ByteTokenizer()
+    if tiny:
+        cfg = LlamaConfig(
+            dim=128, n_layers=2, n_heads=4, n_kv_heads=4, vocab_size=tok.n_words,
+            multiple_of=32, norm_eps=1e-5, max_batch_size=8, max_seq_len=256,
+        )
+    else:  # the RESULTS.md 1B-class serving shape
+        cfg = LlamaConfig(
+            dim=2048, n_layers=16, n_heads=16, n_kv_heads=16, vocab_size=tok.n_words,
+            multiple_of=256, norm_eps=1e-5, max_batch_size=8, max_seq_len=512,
+        )
+    # bf16 is the TPU serving dtype; CPU XLA can't execute bf16 dots, so the
+    # --tiny smoke path falls back to f32
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = fuse_projections(init_params(cfg, jax.random.PRNGKey(0), dtype=dtype))
+    if quantize == "int8":
+        params = quantize_params(params)
+    elif quantize == "int8x8":
+        params = quantize_params(params, activations=True)
+    return Llama(params, tok, cfg), cfg
+
+
+def bench_decode(batch: int, tiny: bool, quantize: str = "none"):
+    llama, cfg = _llama(tiny, quantize)
+    gen_len = 32 if tiny else 128
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8]] * batch
+    llama.generate(prompts, max_gen_len=gen_len, temperature=0.0)  # compile
+    t0 = time.perf_counter()
+    reps = 1 if tiny else 3
+    for _ in range(reps):
+        out = llama.generate(prompts, max_gen_len=gen_len, temperature=0.0)
+    dt = (time.perf_counter() - t0) / reps
+    ms_per_step = dt / gen_len * 1e3
+    return {
+        "case": f"decode_b{batch}" + (f"_{quantize}" if quantize != "none" else ""),
+        "value": round(ms_per_step, 3),
+        "unit": "ms/step",
+        "tok_per_s": round(batch * gen_len / dt, 1),
+    }
+
+
+def bench_online(micro_batch: int, tiny: bool):
+    import jax
+
+    from prego_tpu.core import RecognitionConfig
+    from prego_tpu.models.miniroad import MiniROAD
+    from prego_tpu.serving import OnlineRecognizer
+
+    cfg = RecognitionConfig.from_dict(
+        {
+            "rgb_type": "rgb_anet_resnet50",
+            "flow_type": "flow_anet_resnet50",
+            "embedding_dim": 128 if tiny else 2048,
+            "hidden_dim": 64 if tiny else 1024,
+            "num_layers": 1,
+            "num_classes": 86,
+            "dropout": 0.2,
+        }
+    )
+    model = MiniROAD(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    rec = OnlineRecognizer(model, params, batch=1, flow_is_zero=True)
+    rng = np.random.default_rng(0)
+    T = 256 if tiny else 2048
+    frames = rng.normal(0, 1, (T, 1, model.rgb_dim)).astype(np.float32)
+
+    if micro_batch == 1:
+        rec.step(frames[0])  # compile
+        t0 = time.perf_counter()
+        for t in range(T):
+            rec.step(frames[t])
+        dt = time.perf_counter() - t0
+    else:
+        blocks = [
+            frames[t0 : t0 + micro_batch]
+            for t0 in range(0, T, micro_batch)
+            if t0 + micro_batch <= T
+        ]
+        rec.step_block(blocks[0])  # compile
+        t0 = time.perf_counter()
+        for b in blocks:
+            rec.step_block(b)
+        dt = time.perf_counter() - t0
+        T = len(blocks) * micro_batch
+    return {
+        "case": "online_perframe" if micro_batch == 1 else "online_microbatch",
+        "value": round(T / dt, 1),
+        "unit": "frames/sec (1 stream)",
+        "micro_batch": micro_batch,
+    }
+
+
+CASES = {
+    "decode_b1": lambda tiny: bench_decode(1, tiny),
+    "decode_b8": lambda tiny: bench_decode(8, tiny),
+    "decode_b8_int8": lambda tiny: bench_decode(8, tiny, "int8"),
+    "decode_b8_int8x8": lambda tiny: bench_decode(8, tiny, "int8x8"),
+    "online_perframe": lambda tiny: bench_online(1, tiny),
+    "online_microbatch": lambda tiny: bench_online(256, tiny),
+}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--case", choices=sorted(CASES), default=None)
+    p.add_argument("--all", action="store_true")
+    p.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    p.add_argument("--watchdog", type=float, default=900)
+    args = p.parse_args()
+    _watchdog(args.watchdog)
+    names = sorted(CASES) if args.all or not args.case else [args.case]
+    for name in names:
+        print(json.dumps(CASES[name](args.tiny)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
