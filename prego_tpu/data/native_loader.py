@@ -159,6 +159,43 @@ class NativeRecognitionData:
             flow = np.zeros((len(vid_order), window, self.flow_dim), np.float32)
         return rgb, flow, tgt
 
+    def gather_async(
+        self, vid_order: np.ndarray, starts: np.ndarray, window: int
+    ) -> "_PendingBatch":
+        """Background variant of gather: the native thread pool assembles
+        the batch while the caller's current step runs (double buffering)."""
+        native_idx = self._indices[vid_order]
+        real_starts = starts - self.pad
+        p_rgb = self._rgb.gather_windows_async(
+            native_idx, real_starts, window, self.rgb_dim
+        )
+        p_tgt = self._tgt.gather_windows_async(
+            native_idx, real_starts, window, self.num_classes
+        )
+        p_flow = (
+            self._flow.gather_windows_async(
+                native_idx, real_starts, window, self.flow_dim
+            )
+            if self._flow is not None
+            else None
+        )
+        return _PendingBatch(p_rgb, p_flow, p_tgt, len(vid_order), window, self.flow_dim)
+
+
+class _PendingBatch:
+    def __init__(self, p_rgb, p_flow, p_tgt, count: int, window: int, flow_dim: int):
+        self._p = (p_rgb, p_flow, p_tgt)
+        self._zeros = (count, window, flow_dim)
+
+    def wait(self):
+        p_rgb, p_flow, p_tgt = self._p
+        rgb = p_rgb.wait()
+        tgt = p_tgt.wait()
+        flow = (
+            p_flow.wait() if p_flow is not None else np.zeros(self._zeros, np.float32)
+        )
+        return rgb, flow, tgt
+
 
 class NativeWindowSampler:
     """Reference windowing semantics over the native store
@@ -192,7 +229,12 @@ class NativeWindowSampler:
         batch_size: int,
         shuffle: bool = True,
         rng: Optional[np.random.Generator] = None,
+        prefetch: bool = True,
     ) -> Iterator[Batch]:
+        """With prefetch=True (default), batch i+1 is assembled by the
+        native thread pool while batch i is being consumed (typically: while
+        the accelerator runs the training step) — one batch of lookahead,
+        two buffers in flight."""
         if not self.windows:
             self.resample(rng)
         order = np.arange(len(self.windows))
@@ -200,6 +242,8 @@ class NativeWindowSampler:
             (rng or np.random.default_rng()).shuffle(order)
         W = self.window_size
         win = np.asarray(self.windows, np.int64)
+
+        metas = []
         for b0 in range(0, len(order), batch_size):
             idxs = order[b0 : b0 + batch_size]
             n = len(idxs)
@@ -210,7 +254,21 @@ class NativeWindowSampler:
                 starts = np.concatenate(
                     [starts, np.full(batch_size - n, -(10 ** 9), np.int64)]
                 )
-            rgb, flow, tgt = self.data.gather(vid_order, starts, W)
+            metas.append((vid_order, starts, n))
+
+        pending = None
+        if prefetch and metas:
+            pending = self.data.gather_async(metas[0][0], metas[0][1], W)
+        for i, (vid_order, starts, n) in enumerate(metas):
+            if pending is not None:
+                rgb, flow, tgt = pending.wait()
+                pending = (
+                    self.data.gather_async(metas[i + 1][0], metas[i + 1][1], W)
+                    if i + 1 < len(metas)
+                    else None
+                )
+            else:
+                rgb, flow, tgt = self.data.gather(vid_order, starts, W)
             valid = np.zeros((batch_size,), np.float32)
             valid[:n] = 1.0
             vids = [self.data.vids[int(v)] for v in vid_order[:n]] + [""] * (batch_size - n)

@@ -61,6 +61,9 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int32,
     ]
+    lib.fs_gather_windows_async.restype = ctypes.c_void_p
+    lib.fs_gather_windows_async.argtypes = lib.fs_gather_windows.argtypes
+    lib.fs_gather_wait.argtypes = [ctypes.c_void_p]
     lib.fs_read_all.argtypes = [
         ctypes.c_void_p,
         ctypes.c_int32,
@@ -80,6 +83,27 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return _load() is not None
+
+
+class PendingGather:
+    """Handle for an in-flight background gather (double buffering)."""
+
+    def __init__(self, lib, ticket, out: np.ndarray):
+        self._lib = lib
+        self._ticket = ticket
+        self.out = out  # keeps the buffer alive while the C thread writes it
+
+    def wait(self) -> np.ndarray:
+        if self._ticket is not None:
+            self._lib.fs_gather_wait(self._ticket)
+            self._ticket = None
+        return self.out
+
+    def __del__(self):
+        try:
+            self.wait()  # never leak a running thread writing freed memory
+        except Exception:
+            pass
 
 
 class NativeFeatureStore:
@@ -127,6 +151,31 @@ class NativeFeatureStore:
             self.n_threads,
         )
         return out
+
+    def gather_windows_async(
+        self, vid_idx: np.ndarray, starts: np.ndarray, window: int, dim: int,
+        out: Optional[np.ndarray] = None,
+    ) -> "PendingGather":
+        """Start a background gather into `out` (allocated if None); the
+        next batch is assembled by the pthread pool while the accelerator
+        runs the current step. Call .wait() before touching `out`."""
+        vid_idx = np.ascontiguousarray(vid_idx, np.int32)
+        starts = np.ascontiguousarray(starts, np.int64)
+        count = len(vid_idx)
+        if out is None:
+            out = np.empty((count, window, dim), np.float32)
+        assert out.shape == (count, window, dim) and out.dtype == np.float32
+        ticket = self._lib.fs_gather_windows_async(
+            self._handle,
+            vid_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            count,
+            window,
+            dim,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.n_threads,
+        )
+        return PendingGather(self._lib, ticket, out)
 
     def read_all(self, i: int) -> np.ndarray:
         rows, cols = self.dims(i)

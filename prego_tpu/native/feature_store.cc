@@ -185,6 +185,57 @@ void fs_gather_windows(void* handle, const int32_t* vid_idx,
   for (int32_t t = 0; t < n_threads; ++t) pthread_join(threads[t], nullptr);
 }
 
+// ---- asynchronous (prefetching) gather ----
+//
+// The synchronous gather leaves the pthread pool idle while the accelerator
+// runs the step; the async variant kicks the same gather off on a detached
+// runner so the NEXT batch is assembled during the CURRENT step (classic
+// double buffering — the python loader owns two output buffers). The index
+// arrays are copied into the ticket; the output buffer must stay alive
+// until fs_gather_wait.
+
+struct AsyncGather {
+  Store* store;
+  std::vector<int32_t> vid_idx;
+  std::vector<int64_t> starts;
+  int64_t window, dim;
+  float* out;
+  int32_t n_threads;
+  pthread_t thread;
+};
+
+static void* async_runner(void* arg) {
+  AsyncGather* a = static_cast<AsyncGather*>(arg);
+  fs_gather_windows(a->store, a->vid_idx.data(), a->starts.data(),
+                    (int64_t)a->vid_idx.size(), a->window, a->dim, a->out,
+                    a->n_threads);
+  return nullptr;
+}
+
+// Start a background gather; returns a ticket to pass to fs_gather_wait.
+void* fs_gather_windows_async(void* handle, const int32_t* vid_idx,
+                              const int64_t* starts, int64_t count,
+                              int64_t window, int64_t dim, float* out,
+                              int32_t n_threads) {
+  AsyncGather* a = new AsyncGather();
+  a->store = static_cast<Store*>(handle);
+  a->vid_idx.assign(vid_idx, vid_idx + count);
+  a->starts.assign(starts, starts + count);
+  a->window = window;
+  a->dim = dim;
+  a->out = out;
+  a->n_threads = n_threads;
+  pthread_create(&a->thread, nullptr, async_runner, a);
+  return a;
+}
+
+// Block until the ticket's gather has fully written its output buffer.
+void fs_gather_wait(void* ticket) {
+  AsyncGather* a = static_cast<AsyncGather*>(ticket);
+  pthread_join(a->thread, nullptr);
+  delete a;
+}
+
 // Copy whole file i into out (rows*cols f32) — full-video eval packing.
 void fs_read_all(void* handle, int32_t i, float* out) {
   Store* s = static_cast<Store*>(handle);

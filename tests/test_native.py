@@ -59,6 +59,27 @@ def test_gather_windows_matches_numpy(npy_files):
     fs.close()
 
 
+def test_gather_windows_async_matches_sync(npy_files):
+    paths, arrays = npy_files
+    fs = NativeFeatureStore(paths, n_threads=2)
+    rng = np.random.default_rng(2)
+    W = 8
+    vid_idx = rng.integers(0, len(arrays), 40).astype(np.int32)
+    starts = np.array(
+        [int(rng.integers(-3, arrays[v].shape[0] - 2)) for v in vid_idx], np.int64
+    )
+    # several overlapping in-flight gathers (double-buffer usage pattern)
+    pendings = [
+        fs.gather_windows_async(vid_idx[i::4], starts[i::4], W, 32) for i in range(4)
+    ]
+    sync = [fs.gather_windows(vid_idx[i::4], starts[i::4], W, 32) for i in range(4)]
+    for p, s in zip(pendings, sync):
+        np.testing.assert_array_equal(p.wait(), s)
+    # wait() is idempotent and returns the same buffer
+    assert pendings[0].wait() is pendings[0].out
+    fs.close()
+
+
 def test_out_of_range_window_partially_zero_filled(npy_files):
     paths, arrays = npy_files
     fs = NativeFeatureStore(paths)

@@ -71,6 +71,25 @@ def test_batches_bitwise_equal(synth):
         assert a.vids == b.vids
 
 
+def test_prefetch_batches_equal_sync(synth):
+    """prefetch=True (background double-buffered gathers) must yield
+    bit-identical batches to prefetch=False."""
+    from prego_tpu.data.native_loader import NativeWindowSampler
+
+    _, native_data = _make_pair(synth, training=True)
+    s = NativeWindowSampler(native_data, 16, 4)
+    s.resample(np.random.default_rng(5))
+    a = list(s.iter_batches(8, shuffle=True, rng=np.random.default_rng(7), prefetch=False))
+    b = list(s.iter_batches(8, shuffle=True, rng=np.random.default_rng(7), prefetch=True))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.rgb, y.rgb)
+        np.testing.assert_array_equal(x.flow, y.flow)
+        np.testing.assert_array_equal(x.target, y.target)
+        np.testing.assert_array_equal(x.valid, y.valid)
+        assert x.vids == y.vids
+
+
 def test_missing_video_dropped_native(synth):
     from prego_tpu.data.native_loader import NativeRecognitionData
 
