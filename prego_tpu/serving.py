@@ -169,6 +169,7 @@ class MistakeEvent:
     history: List[int]
     anticipated: Set
     is_mistake: bool
+    stream: int = 0
 
 
 class OnlineMistakeDetector:
@@ -295,3 +296,168 @@ class OnlineMistakeDetector:
         if new_step is None:
             return None
         return self._check_step(new_step)
+
+
+class MultiStreamMistakeDetector:
+    """Production-shaped serving: B concurrent video streams through ONE
+    fused device dispatch per frame block (recognition + per-stream windowed
+    vote batched in the same scan), with all LLM anticipation checks of the
+    block batched into a single text_completion call.
+
+    Semantically identical to B independent OnlineMistakeDetectors (pinned
+    by tests/test_serving.py): a stream's aggregated sequence extends
+    regardless of the verdict, so batching the LLM calls cannot change any
+    event. Each stream may carry its own toy/context (per-stream
+    PromptBuilder kwargs).
+    """
+
+    def __init__(
+        self,
+        recognizer: OnlineRecognizer,
+        llm: CompletionLLM,
+        stream_prompts: Optional[List[Dict]] = None,
+        type_prompt: str = "num",
+        prompt_context: str = "default",
+        num_samples: int = 1,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+        max_gen_len: Optional[int] = 8,
+        window_size: int = WINDOW_SIZE,
+        cleaning_mode: str = "meta",
+    ):
+        B = recognizer.batch
+        self.recognizer = recognizer
+        self.llm = llm
+        stream_prompts = stream_prompts or [{} for _ in range(B)]
+        assert len(stream_prompts) == B, "one prompt config per stream"
+        self.builders = [
+            PromptBuilder(
+                type_prompt=type_prompt, prompt_context=prompt_context,
+                **{"context": "", **sp},
+            )
+            for sp in stream_prompts
+        ]
+        self.aggregators = [
+            OnlineAggregator(recognizer.model.num_classes, window_size)
+            for _ in range(B)
+        ]
+        self.num_samples = num_samples
+        self.temperature = temperature
+        self.top_p = top_p
+        self.max_gen_len = max_gen_len
+        self.cleaning_mode = cleaning_mode
+        self.frame_index = [0] * B
+        self.events: List[List[MistakeEvent]] = [[] for _ in range(B)]
+        self._block_fn = _make_detector_block_fn(
+            recognizer.model, recognizer.flow_is_zero, window_size
+        )
+
+    def _run_checks(self, checks: List[Dict]) -> List[MistakeEvent]:
+        """checks: [{stream, frame_index, step, history}] -> events, with
+        one batched LLM call covering every check (num_samples^2 prompts
+        each, matching the reference's duplicated-sampling distribution)."""
+        if not checks:
+            return []
+        n_rep = self.num_samples * self.num_samples
+        prompts: List[str] = []
+        for c in checks:
+            hist_with_step = c["history"] + [c["step"]]
+            prompt = self.builders[c["stream"]].step_prompt(
+                hist_with_step, len(c["history"])
+            )
+            prompts.extend([prompt] * n_rep)
+        results = self.llm.text_completion(
+            prompts, max_gen_len=self.max_gen_len,
+            temperature=self.temperature, top_p=self.top_p,
+        )
+        events = []
+        for j, c in enumerate(checks):
+            builder = self.builders[c["stream"]]
+            anticipated = {
+                clean_generation(r["generation"], builder.type_prompt, self.cleaning_mode)
+                for r in results[j * n_rep : (j + 1) * n_rep]
+            }
+            event = MistakeEvent(
+                frame_index=c["frame_index"],
+                step=c["step"],
+                history=c["history"],
+                anticipated=anticipated,
+                is_mistake=c["step"] not in anticipated,
+                stream=c["stream"],
+            )
+            self.events[c["stream"]].append(event)
+            events.append(event)
+        return events
+
+    def push_frames(
+        self, rgb_block: np.ndarray, flow_block: Optional[np.ndarray] = None
+    ) -> List[MistakeEvent]:
+        """rgb_block: (N, B, D_rgb) — N frames for each of the B streams."""
+        N, B = rgb_block.shape[:2]
+        assert B == self.recognizer.batch
+        rgb = jnp.asarray(rgb_block)
+        if flow_block is None:
+            flow = jnp.zeros((N, B, self.recognizer.model.flow_dim), jnp.float32)
+        else:
+            flow = jnp.asarray(flow_block)
+        counts = jnp.asarray(
+            np.stack([a.counts for a in self.aggregators]).astype(np.int32)
+        )
+        in_w = jnp.asarray(
+            np.array([a.in_window for a in self.aggregators], np.int32)
+        )
+        (cls_seq, completed, winner), hidden, counts, in_w = self._block_fn(
+            self.recognizer.params, rgb, flow, self.recognizer.hidden, counts, in_w
+        )
+        self.recognizer.hidden = hidden
+        completed, winner, counts, in_w = jax.device_get(
+            (completed, winner, counts, in_w)
+        )
+        for b, agg in enumerate(self.aggregators):
+            agg.counts[:] = counts[b]
+            agg.in_window = int(in_w[b])
+        checks: List[Dict] = []
+        for t in range(N):
+            for b in range(B):
+                self.frame_index[b] += 1
+                if completed[t, b]:
+                    w = int(winner[t, b])
+                    seq = self.aggregators[b].sequence
+                    if not seq or seq[-1] != w:
+                        checks.append(
+                            {
+                                "stream": b,
+                                "frame_index": self.frame_index[b],
+                                "step": w,
+                                "history": list(seq),
+                            }
+                        )
+                        seq.append(w)
+        return self._run_checks(checks)
+
+    def finish(self, stream: Optional[int] = None) -> List[MistakeEvent]:
+        """Flush trailing partial windows (all streams or one)."""
+        streams = range(len(self.aggregators)) if stream is None else [stream]
+        checks = []
+        for b in streams:
+            before = list(self.aggregators[b].sequence)
+            new_step = self.aggregators[b].flush()
+            if new_step is not None:
+                checks.append(
+                    {
+                        "stream": b,
+                        "frame_index": self.frame_index[b],
+                        "step": new_step,
+                        "history": before,
+                    }
+                )
+        return self._run_checks(checks)
+
+    def reset_stream(self, b: int) -> None:
+        """Start a new video on stream b (recognizer state + aggregation)."""
+        self.recognizer.reset(stream=b)
+        self.aggregators[b] = OnlineAggregator(
+            self.recognizer.model.num_classes, self.aggregators[b].window_size
+        )
+        self.frame_index[b] = 0
+        self.events[b] = []

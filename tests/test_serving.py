@@ -143,6 +143,78 @@ def test_push_frames_matches_push_frame(rng):
             )
 
 
+def test_multistream_matches_independent_detectors(rng):
+    """B streams through the fused multi-stream path (one dispatch per block,
+    one batched LLM call per block) must produce the same per-stream events
+    as B independent single-stream detectors."""
+    from prego_tpu.serving import MultiStreamMistakeDetector
+
+    model = MiniROAD(CFG)
+    params = model.init(jax.random.PRNGKey(8))
+    B, T = 3, 44
+    frames = rng.normal(0, 1, (T, B, model.rgb_dim)).astype(np.float32)
+
+    # independent per-stream references
+    singles = []
+    for b in range(B):
+        rec = OnlineRecognizer(model, params, batch=1, flow_is_zero=True)
+        det = OnlineMistakeDetector(
+            rec, FakeLLM(), context="", toy=f"t{b}", type_prompt="num",
+            window_size=10, temperature=0.0,
+        )
+        evs = []
+        for t in range(T):
+            ev = det.push_frame(frames[t, b])
+            if ev is not None:
+                evs.append(ev)
+        tail = det.finish()
+        if tail is not None:
+            evs.append(tail)
+        singles.append((det, evs))
+
+    rec = OnlineRecognizer(model, params, batch=B, flow_is_zero=True)
+    multi = MultiStreamMistakeDetector(
+        rec, FakeLLM(),
+        stream_prompts=[{"context": "", "toy": f"t{b}"} for b in range(B)],
+        type_prompt="num", window_size=10, temperature=0.0,
+    )
+    for t0 in range(0, T, 13):  # window-splitting block boundaries
+        multi.push_frames(frames[t0 : t0 + 13])
+    multi.finish()
+
+    for b, (det, evs) in enumerate(singles):
+        assert multi.aggregators[b].sequence == det.aggregator.sequence
+        got = multi.events[b]
+        assert len(got) == len(evs)
+        for a, e in zip(got, evs):
+            assert a.stream == b
+            assert (a.frame_index, a.step, a.history, a.anticipated, a.is_mistake) == (
+                e.frame_index, e.step, e.history, e.anticipated, e.is_mistake
+            )
+
+
+def test_multistream_reset_stream(rng):
+    from prego_tpu.serving import MultiStreamMistakeDetector
+
+    model = MiniROAD(CFG)
+    params = model.init(jax.random.PRNGKey(9))
+    rec = OnlineRecognizer(model, params, batch=2, flow_is_zero=True)
+    multi = MultiStreamMistakeDetector(
+        rec, FakeLLM(), type_prompt="num", window_size=5, temperature=0.0,
+    )
+    frames = rng.normal(0, 1, (12, 2, model.rgb_dim)).astype(np.float32)
+    multi.push_frames(frames)
+    assert multi.frame_index == [12, 12]
+    multi.reset_stream(0)
+    assert multi.frame_index == [0, 12]
+    assert multi.aggregators[0].sequence == []
+    assert np.all(np.asarray(rec.hidden[0])[0] == 0)
+    assert not np.all(np.asarray(rec.hidden[0])[1] == 0)
+    # stream 1 keeps accumulating after the reset
+    multi.push_frames(frames[:5])
+    assert multi.frame_index == [5, 17]
+
+
 def test_recognizer_per_stream_reset(rng):
     model = MiniROAD(CFG)
     params = model.init(jax.random.PRNGKey(2))
