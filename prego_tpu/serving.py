@@ -16,6 +16,14 @@ verdict out, with identical math:
                       LLM for the anticipated-next-step set from the
                       history and flag the new step if absent
                       (llama_meta.py:14-58 one-class rule).
+
+Serving-scale paths (all equality-tested against the per-frame loop):
+  * micro-batch: step_block / push_frames scan N buffered frames in ONE
+    device dispatch with aggregator state carried on device — decouples
+    throughput from the per-frame host<->device round trip;
+  * multi-stream: MultiStreamMistakeDetector serves B concurrent videos per
+    dispatch and batches all LLM anticipation checks of a block into a
+    single text_completion call.
 """
 
 from __future__ import annotations
