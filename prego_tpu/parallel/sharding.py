@@ -43,8 +43,14 @@ def llama_param_specs(config: LlamaConfig, tp_axis: str = "tp") -> Dict[str, Any
     }
 
 
-def llama_cache_specs(config: LlamaConfig, tp_axis: str = "tp") -> Dict[str, Any]:
-    spec = P(None, tp_axis, None, None)  # per-layer (B, kv_heads, T, hd) leaves
+def llama_cache_specs(
+    config: LlamaConfig, tp_axis: str = "tp", dp_axis: str = None
+) -> Dict[str, Any]:
+    """Per-layer (B, kv_heads, T, hd) cache leaves: kv heads split over tp;
+    pass dp_axis to ALSO shard the batch dim for 2D dp x tp serving (weights
+    replicated over dp, each dp row decoding its slice of the request
+    batch — the num_samples^2 PREGO sampling batch shards cleanly)."""
+    spec = P(dp_axis, tp_axis, None, None)
     return {
         "k": [spec for _ in range(config.n_layers)],
         "v": [spec for _ in range(config.n_layers)],

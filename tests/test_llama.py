@@ -208,6 +208,45 @@ def test_tp_sharded_forward_matches_single(params_f32, rng):
     )
 
 
+def test_dp_tp_2d_sharded_forward_matches_single(params_f32, rng):
+    """2D dp x tp serving: batch sharded over dp, weights/kv-heads over tp."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from prego_tpu.parallel import (
+        llama_cache_specs,
+        llama_param_specs,
+        make_mesh,
+        shard_params,
+    )
+
+    B, S = 4, 8  # batch divisible by dp=4
+    tokens = rng.integers(0, CFG.vocab_size, (B, S)).astype(np.int32)
+    cache = init_cache(CFG, B, dtype=jnp.float32)
+    ref_logits, ref_cache = forward(
+        params_f32, jnp.asarray(tokens), jnp.int32(0), cache, CFG
+    )
+
+    mesh = make_mesh([("dp", 4), ("tp", 2)])
+    sharded = shard_params(params_f32, llama_param_specs(CFG), mesh)
+    cache2 = shard_params(
+        init_cache(CFG, B, dtype=jnp.float32),
+        llama_cache_specs(CFG, dp_axis="dp"),
+        mesh,
+    )
+    toks = jax.device_put(
+        jnp.asarray(tokens), NamedSharding(mesh, P("dp", None))
+    )
+    logits, cache2 = forward(sharded, toks, jnp.int32(0), cache2, CFG)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+    # decode one cached step on the 2D layout
+    nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    d2, _ = forward(sharded, nxt, jnp.int32(S), cache2, CFG)
+    d0, _ = forward(params_f32, nxt, jnp.int32(S), ref_cache, CFG)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d0), rtol=2e-4, atol=2e-4)
+
+
 def test_tp_sharded_generate_matches_single(params_f32):
     """End-to-end jitted generation under 8-way TP == single-device (greedy)."""
     from prego_tpu.models.llama import ByteTokenizer, Llama
