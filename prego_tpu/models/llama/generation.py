@@ -53,7 +53,8 @@ def _generate_jit(
     tokens: jax.Array,  # (B, suffix_buf) int32, pad-filled — SUFFIX coords
     min_prompt_len: jax.Array,  # scalar int32, suffix coords
     total_len: jax.Array,  # scalar int32 (actual, <= buffer len), suffix coords
-    cache: Cache,
+    cache: Optional[Cache],  # None -> fresh zeros built INSIDE the jit (no
+    #                          host-side 32-leaf allocation, no transfer)
     key: jax.Array,
     start_offset: jax.Array,  # scalar int32 — absolute position of suffix[0];
     #                           nonzero when resuming from a cached KV prefix
@@ -66,6 +67,8 @@ def _generate_jit(
 ) -> Tuple[jax.Array, jax.Array]:
     rope = precompute_rope(config)
     B, buf_len = tokens.shape
+    if cache is None:
+        cache = init_cache(config, B, dtype=params["norm"].dtype)
     input_text_mask = tokens != pad_id
 
     # prefill the shared prompt prefix [0, min_prompt_len)
@@ -79,15 +82,18 @@ def _generate_jit(
         prefill_logits, jnp.full((B,), min_prompt_len - 1)
     )
 
-    logprobs = jnp.zeros((B, buf_len), jnp.float32)
     if want_logprobs:
         # prompt-token logprobs: position i+1 scored by logits at i
         # (generation.py:180-186,199-203 cross-entropy form)
+        logprobs = jnp.zeros((B, buf_len), jnp.float32)
         lp = jax.nn.log_softmax(prefill_logits[:, :-1], axis=-1)
         gathered = jnp.take_along_axis(lp, tokens[:, 1:, None], axis=-1)[..., 0]
         pos = jnp.arange(1, buf_len)[None, :]
         in_prompt = (pos < min_prompt_len) & input_text_mask[:, 1:]
         logprobs = logprobs.at[:, 1:].set(jnp.where(in_prompt, gathered, 0.0))
+    else:
+        # dummy carry: nothing to fetch over the wire when unwanted
+        logprobs = jnp.zeros((1, 1), jnp.float32)
 
     def cond(state):
         cur_pos, _, _, _, _, eos_reached, _ = state
@@ -218,14 +224,13 @@ class Llama:
             out = tokens  # nothing to generate (generation.py:179-186 edge)
             lp = np.zeros_like(tokens, np.float32)
         else:
-            cache = init_cache(config, bsz, dtype=self.params["norm"].dtype)
             self._key, key = jax.random.split(self._key)
             out, lp = _generate_jit(
                 self.params,
                 jnp.asarray(tokens),
                 jnp.int32(min_prompt_len),
                 jnp.int32(total_len),
-                cache,
+                None,  # fresh cache built inside the jit
                 key,
                 jnp.int32(0),
                 config=config,
@@ -235,7 +240,11 @@ class Llama:
                 pad_id=int(pad_id),
                 want_logprobs=logprobs,
             )
-            out, lp = np.asarray(out), np.asarray(lp)
+            # ONE blocking round-trip for both outputs (the tunnel charges
+            # per fetch, ~25 ms each); lp is a (1,1) dummy when unwanted
+            out, lp = jax.device_get((out, lp))
+            if not logprobs:
+                lp = np.zeros_like(out, np.float32)
 
         out_tokens, out_logprobs = [], []
         for i, toks in enumerate(out.tolist()):
@@ -338,7 +347,7 @@ class Llama:
             eos_id=int(self.tokenizer.eos_id),
             pad_id=int(pad_id),
         )
-        out = np.asarray(out)
+        out = jax.device_get(out)
 
         out_tokens = []
         for i, toks in enumerate(out.tolist()):

@@ -270,11 +270,11 @@ def _attention(
         # single-token decode: fused streaming-softmax Pallas kernel
         # (ops/decode_attention.py) — XLA lowers this contraction to a slow
         # VPU multiply-reduce (~5x off the K/V bandwidth floor)
-        from prego_tpu.ops.decode_attention import decode_attention
+        from prego_tpu.ops.decode_attention import decode_attention_bounded
 
-        out = decode_attention(
+        out = decode_attention_bounded(
             q[:, 0], cache_k, cache_v, start_pos + 1
-        )  # (B, KV, R, hd)
+        )  # (B, KV, R, hd); HBM reads stop at the valid cache length
         out = out.reshape(B, 1, H * hd).astype(x.dtype)
     else:
         # GQA against the full cache with a causal+validity mask

@@ -127,6 +127,146 @@ def decode_attention(
     )(valid, q, cache_k, cache_v)
 
 
+def _decode_kernel_bounded(
+    valid_ref,  # (1, 1) SMEM int32
+    q_ref,  # (1, KV, R, hd) VMEM
+    k_hbm,  # (B, KV, T, hd) ANY/HBM — full cache, blocks DMA'd manually
+    v_hbm,  # (B, KV, T, hd) ANY/HBM
+    out_ref,  # (1, KV, R, hd) VMEM
+    k_buf,  # (2, KV, Tb, hd) VMEM scratch — double buffer
+    v_buf,  # (2, KV, Tb, hd) VMEM scratch
+    m_ref,  # (KV, R, 128) f32 scratch
+    l_ref,  # (KV, R, 128) f32 scratch
+    acc_ref,  # (KV, R, hd) f32 scratch
+    sem,  # DMA semaphores (2 slots x {k, v})
+    *,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+):
+    b = pl.program_id(0)
+    valid = valid_ref[0, 0]
+    # dynamic trip count: blocks wholly past valid_len are never DMA'd,
+    # so HBM cache traffic scales with occupancy, not buffer length
+    n_blocks = (valid + t_block - 1) // t_block
+
+    m_ref[:] = jnp.full_like(m_ref, -1e30)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def k_dma(slot, idx):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, :, pl.ds(idx * t_block, t_block), :],
+            k_buf.at[slot],
+            sem.at[slot, 0],
+        )
+
+    def v_dma(slot, idx):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, :, pl.ds(idx * t_block, t_block), :],
+            v_buf.at[slot],
+            sem.at[slot, 1],
+        )
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+    scale = jax.lax.rsqrt(jnp.asarray(head_dim, jnp.float32))
+
+    def body(i, carry):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            k_dma(nxt, i + 1).start()
+            v_dma(nxt, i + 1).start()
+
+        k_dma(slot, i).wait()
+        v_dma(slot, i).wait()
+        base = i * t_block
+
+        for g in range(kv_heads):  # static walk over untiled head dim
+            q_g = q_ref[0, g]  # (R, hd)
+            s = (
+                jax.lax.dot_general(
+                    q_g, k_buf[slot, g], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )  # (R, Tb)
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(pos < valid, s, -1e30)
+
+            m_old = m_ref[g][:, :1]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new)
+
+            l_new = l_ref[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[g] = acc_ref[g] * alpha + jax.lax.dot_general(
+                p.astype(v_buf.dtype), v_buf[slot, g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[g] = jnp.broadcast_to(m_new, m_ref[g].shape)
+            l_ref[g] = jnp.broadcast_to(l_new, l_ref[g].shape)
+        return carry
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    for g in range(kv_heads):
+        denom = jnp.maximum(l_ref[g][:, :1], 1e-30)
+        out_ref[0, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
+
+
+def decode_attention_bounded(
+    q: jax.Array,  # (B, KV, R, hd)
+    cache_k: jax.Array,  # (B, KV, T, hd)
+    cache_v: jax.Array,  # (B, KV, T, hd)
+    valid_len: jax.Array,  # scalar int32
+    t_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash-decode variant whose HBM cache reads stop at valid_len: the
+    block walk is a dynamic-trip fori_loop with manual double-buffered
+    DMA (k/v blocks staged HBM -> VMEM scratch), so a decode at position p
+    reads ceil(p / t_block) blocks instead of T / t_block. At PREGO's
+    serving occupancy (~1.5k of 2048, or 136 of 512 in the decode bench)
+    this removes most of the 0.67 ms/step full-window KV read."""
+    B, KV, R, hd = q.shape
+    T = cache_k.shape[2]
+    t_block = min(t_block, T)
+    if T % t_block != 0:
+        raise ValueError(f"T={T} not a multiple of t_block={t_block}")
+
+    kernel = functools.partial(
+        _decode_kernel_bounded, kv_heads=KV, t_block=t_block, head_dim=hd
+    )
+    valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, KV, R, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, KV, R, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KV, R, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, KV, t_block, hd), cache_k.dtype),
+            pltpu.VMEM((2, KV, t_block, hd), cache_v.dtype),
+            pltpu.VMEM((KV, R, 128), jnp.float32),
+            pltpu.VMEM((KV, R, 128), jnp.float32),
+            pltpu.VMEM((KV, R, hd), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(valid, q, cache_k, cache_v)
+
+
 def decode_attention_reference(q, cache_k, cache_v, valid_len):
     """Plain-XLA reference with identical semantics (testing/fallback)."""
     hd = q.shape[-1]

@@ -137,6 +137,58 @@ def bench_online(micro_batch: int, tiny: bool):
     }
 
 
+def bench_anticipation_step(tiny: bool):
+    """The PREGO anticipation serving step: 4 sampled generations sharing
+    a long few-shot context (driver.py:71-81 batched num_samples²
+    dispatch), served with the KV prefix cache. RESULTS.md headline row.
+    Needs max_seq_len 2048 so the shared context matches the real
+    ~1.5k-token prompts."""
+    import jax
+    import jax.numpy as jnp
+
+    from prego_tpu.models.llama import ByteTokenizer, Llama, LlamaConfig, init_params
+    from prego_tpu.models.llama.model import fuse_projections
+
+    tok = ByteTokenizer()
+    if tiny:
+        cfg = LlamaConfig(
+            dim=128, n_layers=2, n_heads=4, n_kv_heads=4, vocab_size=tok.n_words,
+            multiple_of=32, norm_eps=1e-5, max_batch_size=4, max_seq_len=512,
+        )
+        ctx_len, gen_len = 200, 8
+    else:
+        cfg = LlamaConfig(
+            dim=2048, n_layers=16, n_heads=16, n_kv_heads=16, vocab_size=tok.n_words,
+            multiple_of=256, norm_eps=1e-5, max_batch_size=4, max_seq_len=2048,
+        )
+        ctx_len, gen_len = 1500, 8
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = fuse_projections(init_params(cfg, jax.random.PRNGKey(0), dtype=dtype))
+    llama = Llama(params, tok, cfg)
+    rng = np.random.default_rng(0)
+    context = rng.integers(4, 200, ctx_len).tolist()
+
+    def step(observed):
+        # 4 = num_samples² identical prompts, one batched dispatch
+        prompts = [context + observed] * 4
+        return llama.generate_with_prefix_cache(
+            prompts, max_gen_len=gen_len, temperature=0.6, top_p=0.9
+        )
+
+    step([7, 8, 9])  # compile + build the prefix cache once (per-video cost)
+    t0 = time.perf_counter()
+    reps = 2 if tiny else 10
+    for i in range(reps):
+        step([7, 8, 9] + rng.integers(4, 200, i % 5).tolist())
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "case": "anticipation_step",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step (4 gens, shared ctx)",
+        "ctx_len": ctx_len,
+    }
+
+
 CASES = {
     "decode_b1": lambda tiny: bench_decode(1, tiny),
     "decode_b8": lambda tiny: bench_decode(8, tiny),
@@ -144,6 +196,7 @@ CASES = {
     "decode_b8_int8x8": lambda tiny: bench_decode(8, tiny, "int8x8"),
     "online_perframe": lambda tiny: bench_online(1, tiny),
     "online_microbatch": lambda tiny: bench_online(256, tiny),
+    "anticipation_step": bench_anticipation_step,
 }
 
 

@@ -7,6 +7,7 @@ import pytest
 
 from prego_tpu.ops.decode_attention import (
     decode_attention,
+    decode_attention_bounded,
     decode_attention_reference,
 )
 
@@ -49,6 +50,45 @@ def test_online_softmax_across_blocks(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
+
+
+@pytest.mark.parametrize("valid", [1, 100, 255, 256, 257, 511, 512])
+@pytest.mark.parametrize("R", [1, 2])
+def test_bounded_matches_reference(rng, valid, R):
+    """The DMA-bounded variant must equal the reference at every block
+    occupancy, including exact block boundaries (its trip count is
+    dynamic in valid_len)."""
+    B, KV, hd, T = 2, 4, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    k[:, :, valid:] = 1e4
+    v[:, :, valid:] = -1e4
+
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid)
+    )
+    got = decode_attention_bounded(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
+        t_block=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_bounded_small_buffer(rng):
+    """T smaller than the default t_block clamps the block size."""
+    B, KV, R, hd, T = 1, 2, 1, 128, 128
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(77)
+    )
+    got = decode_attention_bounded(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(77),
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("R", [4, 8])
