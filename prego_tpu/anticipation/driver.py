@@ -58,10 +58,27 @@ def anticipate_sequence(
     verbose: bool = False,
     latencies: Optional[List[float]] = None,  # per-LLM-call wall time (TIME_CNT
     #                                           parity, llm_hf.py:21,47-49)
+    step_batch: int = 1,
 ):
-    """Anticipate every step of one video's sequence. Returns (preds, gts)."""
+    """Anticipate every step of one video's sequence. Returns (preds, gts).
+
+    ``step_batch > 1`` folds that many CONSECUTIVE STEPS into one LLM
+    dispatch (steps are independent: each prompt is built from the
+    recognized sequence, never from a previous LLM answer), amortizing
+    the per-call fixed cost and filling the device batch —
+    step_batch x num_samples² prompts per call. Sample sets and metrics
+    are identical in distribution to step_batch=1; with a deterministic
+    LLM they are identical outright (tested)."""
     preds: List[Set] = []
     gts: List = []
+    if step_batch > 1:
+        if batch_mode != "batched":
+            raise ValueError("step_batch > 1 requires batch_mode='batched'")
+        return _anticipate_sequence_step_batched(
+            seq, builder, llm, max_gen_len, temperature, top_p,
+            num_samples, cleaning_mode, out_plot, verbose, latencies,
+            step_batch,
+        )
     for i in range(len(seq)):
         prompt_ = builder.step_prompt(seq, i)
         hist_len = len(builder.history(seq, i))
@@ -100,6 +117,45 @@ def anticipate_sequence(
     return preds, gts
 
 
+def _anticipate_sequence_step_batched(
+    seq, builder, llm, max_gen_len, temperature, top_p, num_samples,
+    cleaning_mode, out_plot, verbose, latencies, step_batch,
+):
+    preds: List[Set] = []
+    gts: List = []
+    n = num_samples * num_samples
+    for c0 in range(0, len(seq), step_batch):
+        idxs = range(c0, min(c0 + step_batch, len(seq)))
+        prompts: List[str] = []
+        metas = []
+        for i in idxs:
+            prompts.extend([builder.step_prompt(seq, i)] * n)
+            metas.append((len(builder.history(seq, i)), seq[i]))
+        t_call = time.perf_counter()
+        results = llm.text_completion(
+            prompts, max_gen_len=max_gen_len, temperature=temperature, top_p=top_p
+        )
+        if latencies is not None:
+            latencies.append(time.perf_counter() - t_call)
+        for j, (hist_len, action) in enumerate(metas):
+            pred: Set = set()
+            for res in results[j * n : (j + 1) * n]:
+                v = clean_generation(res["generation"], builder.type_prompt, cleaning_mode)
+                if out_plot is not None:
+                    # set size recorded BEFORE insertion (llama_meta.py:192-196)
+                    if hist_len in out_plot:
+                        out_plot[hist_len]["sum"] += len(pred)
+                        out_plot[hist_len]["count"] += 1
+                    else:
+                        out_plot[hist_len] = {"sum": len(pred), "count": 1}
+                pred.add(v)
+            gts.append(action)
+            preds.append(pred)
+            if verbose:
+                print(f"[INFO] >>>> {action} in {pred} ---> {action in pred}")
+    return preds, gts
+
+
 def get_toy(name: str) -> str:
     """Toy id from an Assembly101 video name (llama_meta.py:61-70)."""
     return name.split("-")[2].split("_")[0]
@@ -123,6 +179,7 @@ def run_anticipation(
     num_samples: int = 1,
     cleaning_mode: str = "meta",
     batch_mode: str = "batched",
+    step_batch: int = 1,
     eval_metrics: bool = True,
     verbose: bool = False,
     logger=None,
@@ -179,7 +236,8 @@ def run_anticipation(
             seq, builder, llm,
             max_gen_len=max_gen_len, temperature=temperature, top_p=top_p,
             num_samples=num_samples, cleaning_mode=cleaning_mode,
-            batch_mode=batch_mode, out_plot=result.out_plot, verbose=verbose,
+            batch_mode=batch_mode, step_batch=step_batch,
+            out_plot=result.out_plot, verbose=verbose,
             latencies=result.llm_latencies,
         )
         result.preds[k] = preds

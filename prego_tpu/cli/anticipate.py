@@ -102,6 +102,11 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--prompt_context", type=str, default="default")
     p.add_argument("--cleaning_mode", type=str, default="meta", choices=["meta", "hf"])
     p.add_argument("--batch_mode", type=str, default="batched", choices=["batched", "reference"])
+    p.add_argument(
+        "--step_batch", type=int, default=1,
+        help="fold N consecutive steps into one LLM dispatch "
+        "(N x num_samples^2 prompts per call; steps are independent)",
+    )
     p.add_argument("--results_root", type=str, default="results")
     p.add_argument(
         "--checkpoint_path", type=str, default=None,
@@ -159,6 +164,7 @@ def main(argv: Optional[List[str]] = None):
         num_samples=args.num_samples,
         cleaning_mode=args.cleaning_mode,
         batch_mode=args.batch_mode,
+        step_batch=args.step_batch,
         eval_metrics=not args.no_eval_metrics,
         verbose=args.verbose,
         logger=logger,

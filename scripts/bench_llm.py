@@ -137,12 +137,13 @@ def bench_online(micro_batch: int, tiny: bool):
     }
 
 
-def bench_anticipation_step(tiny: bool):
+def bench_anticipation_step(tiny: bool, step_batch: int = 1):
     """The PREGO anticipation serving step: 4 sampled generations sharing
     a long few-shot context (driver.py:71-81 batched num_samples²
     dispatch), served with the KV prefix cache. RESULTS.md headline row.
     Needs max_seq_len 2048 so the shared context matches the real
-    ~1.5k-token prompts."""
+    ~1.5k-token prompts. step_batch folds that many consecutive steps
+    into one dispatch (driver --step_batch): per-step cost is dt/N."""
     import jax
     import jax.numpy as jnp
 
@@ -150,16 +151,17 @@ def bench_anticipation_step(tiny: bool):
     from prego_tpu.models.llama.model import fuse_projections
 
     tok = ByteTokenizer()
+    bsz = 4 * step_batch
     if tiny:
         cfg = LlamaConfig(
             dim=128, n_layers=2, n_heads=4, n_kv_heads=4, vocab_size=tok.n_words,
-            multiple_of=32, norm_eps=1e-5, max_batch_size=4, max_seq_len=512,
+            multiple_of=32, norm_eps=1e-5, max_batch_size=bsz, max_seq_len=512,
         )
         ctx_len, gen_len = 200, 8
     else:
         cfg = LlamaConfig(
             dim=2048, n_layers=16, n_heads=16, n_kv_heads=16, vocab_size=tok.n_words,
-            multiple_of=256, norm_eps=1e-5, max_batch_size=4, max_seq_len=2048,
+            multiple_of=256, norm_eps=1e-5, max_batch_size=bsz, max_seq_len=2048,
         )
         ctx_len, gen_len = 1500, 8
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -169,8 +171,11 @@ def bench_anticipation_step(tiny: bool):
     context = rng.integers(4, 200, ctx_len).tolist()
 
     def step(observed):
-        # 4 = num_samples² identical prompts, one batched dispatch
-        prompts = [context + observed] * 4
+        # step_batch steps x num_samples²=4 prompts, one batched dispatch;
+        # consecutive steps differ by their observed-history tail
+        prompts = []
+        for s in range(step_batch):
+            prompts.extend([context + observed + list(range(7, 7 + s))] * 4)
         return llama.generate_with_prefix_cache(
             prompts, max_gen_len=gen_len, temperature=0.6, top_p=0.9
         )
@@ -180,12 +185,14 @@ def bench_anticipation_step(tiny: bool):
     reps = 2 if tiny else 10
     for i in range(reps):
         step([7, 8, 9] + rng.integers(4, 200, i % 5).tolist())
-    dt = (time.perf_counter() - t0) / reps
+    dt = (time.perf_counter() - t0) / reps / step_batch
     return {
-        "case": "anticipation_step",
+        "case": "anticipation_step"
+        + (f"_sb{step_batch}" if step_batch > 1 else ""),
         "value": round(dt * 1e3, 1),
         "unit": "ms/step (4 gens, shared ctx)",
         "ctx_len": ctx_len,
+        "step_batch": step_batch,
     }
 
 
@@ -197,6 +204,7 @@ CASES = {
     "online_perframe": lambda tiny: bench_online(1, tiny),
     "online_microbatch": lambda tiny: bench_online(256, tiny),
     "anticipation_step": bench_anticipation_step,
+    "anticipation_step_sb2": lambda tiny: bench_anticipation_step(tiny, 2),
 }
 
 

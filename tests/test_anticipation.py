@@ -164,6 +164,38 @@ def test_num_samples_squared_generations():
     assert [len(c) for c in llm2.calls] == [3, 3, 3, 3, 3, 3]
 
 
+def test_step_batched_equals_per_step():
+    """step_batch folds N steps into one dispatch; with a deterministic
+    LLM the preds/gts/out_plot must be identical to step_batch=1."""
+    seq = [1, 2, 3, 4, 4, 6, 7]
+    b = PromptBuilder(context="ctx", toy="t", type_prompt="num")
+
+    llm1 = FakeLLM()
+    plot1: dict = {}
+    p1, g1 = anticipate_sequence(
+        seq, b, llm1, num_samples=2, out_plot=plot1, latencies=[]
+    )
+    for sb in (2, 3, 100):
+        llm2 = FakeLLM()
+        plot2: dict = {}
+        p2, g2 = anticipate_sequence(
+            seq, b, llm2, num_samples=2, step_batch=sb, out_plot=plot2, latencies=[]
+        )
+        assert p2 == p1 and g2 == g1 and plot2 == plot1
+    # dispatch count shrinks: 7 steps at step_batch=3 -> 3 calls of <=12
+    llm3 = FakeLLM()
+    anticipate_sequence(seq, b, llm3, num_samples=2, step_batch=3)
+    assert [len(c) for c in llm3.calls] == [12, 12, 4]
+
+
+def test_step_batch_rejects_reference_mode():
+    b = PromptBuilder(context="", toy="t", type_prompt="num")
+    with pytest.raises(ValueError):
+        anticipate_sequence(
+            [1, 2], b, FakeLLM(), step_batch=2, batch_mode="reference"
+        )
+
+
 def test_run_anticipation_out_plot_and_metrics():
     seqs = {
         "nusar-2021_action_both_9044-a08_9044_x": {"pred": [1, 1, 7], "gt": [1, 1, 7]},
