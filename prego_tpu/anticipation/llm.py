@@ -191,8 +191,10 @@ class JaxLlamaLLM:
         prefix_cache: bool = True,  # PREGO prompts share huge prefixes
         orbax_dir: Optional[str] = None,  # sharded-format cache of converted weights
         quantize: bool = False,  # weight-only int8 serving (ops/quant.py)
+        kv_quant: bool = False,  # int8 KV cache (model.init_cache(quantized=True))
     ):
         self.prefix_cache = prefix_cache
+        import jax
         import jax.numpy as jnp
 
         from prego_tpu.checkpoint.convert import (
@@ -202,7 +204,12 @@ class JaxLlamaLLM:
         from prego_tpu.models.llama import Llama, LlamaConfig, load_tokenizer
         from prego_tpu.parallel import llama_param_specs, shard_params, tp_mesh
 
-        dtype = dtype or jnp.bfloat16
+        # bf16 is the TPU serving dtype; CPU XLA cannot execute bf16 dots,
+        # so asset-free smoke drives on host fall back to f32
+        if dtype is None:
+            dtype = (
+                jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            )
         tokenizer = load_tokenizer(tokenizer_path)
         import os.path as osp
 
@@ -247,8 +254,6 @@ class JaxLlamaLLM:
             )
             params = convert_hf_checkpoint(ckpt_dir, config, dtype)
 
-        import jax
-
         if tp is None:
             tp = len(jax.devices())
         if tp > 1 and not quantize:  # fused/int8 layouts are single-chip
@@ -263,7 +268,7 @@ class JaxLlamaLLM:
                 from prego_tpu.models.llama.model import quantize_params
 
                 params = quantize_params(params)
-        self.llama = Llama(params, tokenizer, config)
+        self.llama = Llama(params, tokenizer, config, kv_quant=kv_quant)
 
     def text_completion(
         self,

@@ -88,6 +88,9 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--max_batch_size", type=int, default=8)
     p.add_argument("--quantize", action="store_true",
                    help="weight-only int8 serving for --llm jax-llama")
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8 KV cache for --llm jax-llama (half the decode "
+                   "cache traffic, double the context capacity)")
     p.add_argument("--max_gen_len", type=int, default=8)
     p.add_argument("--temperature", type=float, default=0.6)
     p.add_argument("--top_p", type=float, default=0.9)
@@ -141,6 +144,7 @@ def main(argv: Optional[List[str]] = None):
             max_seq_len=args.max_seq_len,
             max_batch_size=args.max_batch_size,
             quantize=args.quantize,
+            kv_quant=args.kv_quant,
         )
 
     seqs, contexts, toy2class, idx2action, idx2emoji = load_assets(args)

@@ -45,6 +45,7 @@ def _round_up(x: int, m: int) -> int:
     jax.jit,
     static_argnames=(
         "config", "temperature", "top_p", "eos_id", "pad_id", "want_logprobs",
+        "kv_quant",
     ),
     donate_argnames=("cache",),
 )
@@ -64,11 +65,14 @@ def _generate_jit(
     eos_id: int,
     pad_id: int,
     want_logprobs: bool = False,
+    kv_quant: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     rope = precompute_rope(config)
     B, buf_len = tokens.shape
     if cache is None:
-        cache = init_cache(config, B, dtype=params["norm"].dtype)
+        cache = init_cache(
+            config, B, dtype=params["norm"].dtype, quantized=kv_quant
+        )
     input_text_mask = tokens != pad_id
 
     # prefill the shared prompt prefix [0, min_prompt_len)
@@ -170,11 +174,13 @@ class Llama:
         tokenizer,
         config: LlamaConfig,
         pad_to_multiple: int = 64,
+        kv_quant: bool = False,
     ):
         self.params = params
         self.tokenizer = tokenizer
         self.config = config
         self.pad_to_multiple = pad_to_multiple
+        self.kv_quant = kv_quant  # int8 KV cache (see model.init_cache)
         self._key = jax.random.PRNGKey(1)  # seed parity: generation.py:95
         self._prefix_key: Optional[Tuple[int, ...]] = None
         self._prefix_cache: Optional[Cache] = None
@@ -239,6 +245,7 @@ class Llama:
                 eos_id=int(self.tokenizer.eos_id),
                 pad_id=int(pad_id),
                 want_logprobs=logprobs,
+                kv_quant=self.kv_quant,
             )
             # ONE blocking round-trip for both outputs (the tunnel charges
             # per fetch, ~25 ms each); lp is a (1,1) dummy when unwanted
@@ -267,7 +274,10 @@ class Llama:
 
     def _ensure_prefix_cache(self, prefix: Tuple[int, ...]) -> Cache:
         if self._prefix_key != prefix:
-            cache = init_cache(self.config, 1, dtype=self.params["norm"].dtype)
+            cache = init_cache(
+                self.config, 1, dtype=self.params["norm"].dtype,
+                quantized=self.kv_quant,
+            )
             buf = np.asarray(prefix, np.int32)
             for i in range(0, len(prefix), self.PREFIX_CHUNK):
                 chunk = buf[i : i + self.PREFIX_CHUNK][None, :]

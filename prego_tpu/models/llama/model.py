@@ -78,18 +78,49 @@ def init_params(
     }
 
 
-def init_cache(config: LlamaConfig, batch: int, dtype=jnp.bfloat16) -> Cache:
+def init_cache(
+    config: LlamaConfig, batch: int, dtype=jnp.bfloat16, quantized: bool = False
+) -> Cache:
     """Per-layer K/V arrays kept as SEPARATE pytree leaves: a stacked
     (L, ...) cache forces a materializing slice per layer per decode step
     (profiled at ~2k copy ops per short generation); separate leaves let
     the while_loop alias every update in place. Layout is head-major
     (B, KV, T, hd) so the flash-decode kernel can index heads on untiled
-    leading dims."""
+    leading dims.
+
+    ``quantized=True`` stores each leaf as int8 values + per-position-
+    per-head f32 scales ({"q": (B, KV, T, hd) int8, "s": (B, KV, T) f32}):
+    half the decode HBM cache traffic, double the context capacity."""
     shape = (batch, config.kv_heads, config.max_seq_len, config.head_dim)
+    if quantized:
+        def leaf():
+            return {
+                "q": jnp.zeros(shape, jnp.int8),
+                "s": jnp.zeros(shape[:3], jnp.float32),
+            }
+
+        return {
+            "k": [leaf() for _ in range(config.n_layers)],
+            "v": [leaf() for _ in range(config.n_layers)],
+        }
     return {
         "k": [jnp.zeros(shape, dtype) for _ in range(config.n_layers)],
         "v": [jnp.zeros(shape, dtype) for _ in range(config.n_layers)],
     }
+
+
+def _kv_quantize(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(B, KV, S, hd) -> (int8 values, (B, KV, S) f32 symmetric scales)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.round(xf / s[..., None]).astype(jnp.int8)
+    return q, s
+
+
+def _kv_dequant(leaf: Dict[str, jax.Array], dtype) -> jax.Array:
+    """Dequantize an int8 cache leaf for the (prefill) einsum path; XLA
+    fuses the multiply into the consumer so only int8 bytes stream."""
+    return (leaf["q"].astype(jnp.float32) * leaf["s"][..., None]).astype(dtype)
 
 
 # ---- building blocks ----
@@ -255,32 +286,59 @@ def _attention(
 
     # functional cache update at [:, :, start_pos:start_pos+S] of the
     # layer's own head-major (B, KV, T, hd) leaf — aliasable in place by
-    # the while_loop carry
-    cache_k = jax.lax.dynamic_update_slice(
-        cache_k, jnp.swapaxes(xk, 1, 2).astype(cache_k.dtype), (0, 0, start_pos, 0)
-    )
-    cache_v = jax.lax.dynamic_update_slice(
-        cache_v, jnp.swapaxes(xv, 1, 2).astype(cache_v.dtype), (0, 0, start_pos, 0)
-    )
+    # the while_loop carry. int8 leaves ({"q","s"}) quantize the new
+    # tokens per position per head on the way in.
+    kv_quant = isinstance(cache_k, dict)
+    k_upd = jnp.swapaxes(xk, 1, 2)
+    v_upd = jnp.swapaxes(xv, 1, 2)
+    if kv_quant:
+        kq, ks = _kv_quantize(k_upd)
+        vq, vs = _kv_quantize(v_upd)
+        cache_k = {
+            "q": jax.lax.dynamic_update_slice(cache_k["q"], kq, (0, 0, start_pos, 0)),
+            "s": jax.lax.dynamic_update_slice(cache_k["s"], ks, (0, 0, start_pos)),
+        }
+        cache_v = {
+            "q": jax.lax.dynamic_update_slice(cache_v["q"], vq, (0, 0, start_pos, 0)),
+            "s": jax.lax.dynamic_update_slice(cache_v["s"], vs, (0, 0, start_pos)),
+        }
+        T = cache_k["q"].shape[2]
+    else:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_upd.astype(cache_k.dtype), (0, 0, start_pos, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_upd.astype(cache_v.dtype), (0, 0, start_pos, 0)
+        )
+        T = cache_k.shape[2]
 
-    T = cache_k.shape[2]
     q = xq.reshape(B, S, KV, H // KV, hd)
 
     if S == 1 and use_flash_decode and _flash_decode_supported(config):
         # single-token decode: fused streaming-softmax Pallas kernel
         # (ops/decode_attention.py) — XLA lowers this contraction to a slow
         # VPU multiply-reduce (~5x off the K/V bandwidth floor)
-        from prego_tpu.ops.decode_attention import decode_attention_bounded
+        if kv_quant:
+            from prego_tpu.ops.decode_attention import decode_attention_bounded_q8
 
-        out = decode_attention_bounded(
-            q[:, 0], cache_k, cache_v, start_pos + 1
-        )  # (B, KV, R, hd); HBM reads stop at the valid cache length
+            out = decode_attention_bounded_q8(
+                q[:, 0], cache_k["q"], cache_k["s"],
+                cache_v["q"], cache_v["s"], start_pos + 1,
+            )
+        else:
+            from prego_tpu.ops.decode_attention import decode_attention_bounded
+
+            out = decode_attention_bounded(
+                q[:, 0], cache_k, cache_v, start_pos + 1
+            )  # (B, KV, R, hd); HBM reads stop at the valid cache length
         out = out.reshape(B, 1, H * hd).astype(x.dtype)
     else:
         # GQA against the full cache with a causal+validity mask
         # (static shapes; see module docstring)
+        k_full = _kv_dequant(cache_k, x.dtype) if kv_quant else cache_k
+        v_full = _kv_dequant(cache_v, x.dtype) if kv_quant else cache_v
         scores = jnp.einsum(
-            "bsgrh,bgth->bgrst", q, cache_k, preferred_element_type=jnp.float32
+            "bsgrh,bgth->bgrst", q, k_full, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
 
         q_pos = start_pos + jnp.arange(S)[:, None]  # (S, 1) absolute positions
@@ -290,7 +348,7 @@ def _attention(
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
 
         out = jnp.einsum(
-            "bgrst,bgth->bsgrh", probs, cache_v, preferred_element_type=jnp.float32
+            "bgrst,bgth->bsgrh", probs, v_full, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = out.reshape(B, S, H * hd)
     return (

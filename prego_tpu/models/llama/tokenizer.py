@@ -329,7 +329,11 @@ class HFTokenizer:
 
 
 def load_tokenizer(path: str) -> TokenizerProtocol:
-    """Pick a backend from the file type."""
+    """Pick a backend from the file type. The literal ``"byte"`` selects
+    the hermetic ByteTokenizer (smoke-driving the serving CLI without a
+    real tokenizer.model asset)."""
+    if path == "byte":
+        return ByteTokenizer()
     if path.endswith(".json"):
         return HFTokenizer(path)
     return SentencePieceTokenizer(path)

@@ -267,6 +267,175 @@ def decode_attention_bounded(
     )(valid, q, cache_k, cache_v)
 
 
+def _decode_kernel_bounded_q8(
+    valid_ref,  # (1, 1) SMEM int32
+    q_ref,  # (1, KV, R, hd) VMEM — bf16/f32 query
+    kq_hbm,  # (B, KV, T, hd) int8
+    ks_hbm,  # (B, KV, T) f32 per-position k scales
+    vq_hbm,  # (B, KV, T, hd) int8
+    vs_hbm,  # (B, KV, T) f32 per-position v scales
+    out_ref,  # (1, KV, R, hd) VMEM
+    kq_buf,  # (2, KV, Tb, hd) int8 scratch
+    ks_buf,  # (2, KV, Tb) f32 scratch
+    vq_buf,  # (2, KV, Tb, hd) int8 scratch
+    vs_buf,  # (2, KV, Tb) f32 scratch
+    m_ref,  # (KV, R, 128) f32
+    l_ref,  # (KV, R, 128) f32
+    acc_ref,  # (KV, R, hd) f32
+    sem,  # DMA semaphores (2 slots x 4 streams)
+    *,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+):
+    b = pl.program_id(0)
+    valid = valid_ref[0, 0]
+    n_blocks = (valid + t_block - 1) // t_block
+
+    m_ref[:] = jnp.full_like(m_ref, -1e30)
+    l_ref[:] = jnp.zeros_like(l_ref)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def dmas(slot, idx):
+        sl = pl.ds(idx * t_block, t_block)
+        return [
+            pltpu.make_async_copy(kq_hbm.at[b, :, sl, :], kq_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(ks_hbm.at[b, :, sl], ks_buf.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(vq_hbm.at[b, :, sl, :], vq_buf.at[slot], sem.at[slot, 2]),
+            pltpu.make_async_copy(vs_hbm.at[b, :, sl], vs_buf.at[slot], sem.at[slot, 3]),
+        ]
+
+    for d in dmas(0, 0):
+        d.start()
+    scale = jax.lax.rsqrt(jnp.asarray(head_dim, jnp.float32))
+
+    def body(i, carry):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < n_blocks)
+        def _():
+            for d in dmas(nxt, i + 1):
+                d.start()
+
+        for d in dmas(slot, i):
+            d.wait()
+        base = i * t_block
+
+        for g in range(kv_heads):
+            # quantize the query per row so q@k runs int8 x int8 -> int32
+            # on the MXU (no per-block VPU dequant of the K tile)
+            q_g = q_ref[0, g].astype(jnp.float32)  # (R, hd)
+            qmax = jnp.maximum(jnp.max(jnp.abs(q_g), axis=1, keepdims=True), 1e-8)
+            qs = qmax / 127.0  # (R, 1)
+            q_q = jnp.round(q_g / qs).astype(jnp.int8)
+
+            # int8 operands straight into the dot — Mosaic lowers this to
+            # the native int8 MXU with int32 accumulation (casting to int32
+            # first produces an unsupported i32 x i32 matmul)
+            s_i32 = jax.lax.dot_general(
+                q_q, kq_buf[slot, g],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (R, Tb)
+            k_sc = ks_buf[slot, g : g + 1]  # (1, Tb)
+            s = s_i32.astype(jnp.float32) * qs * k_sc * scale
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(pos < valid, s, -1e30)
+
+            m_old = m_ref[g][:, :1]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new)  # (R, Tb)
+
+            l_new = l_ref[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            # fold the per-position v scale into p, then quantize p per row
+            # at int16-equivalent precision emulated as TWO 7-bit int8 dots
+            # (hi/lo split): single-int8 p costs ~2% max-norm error on the
+            # attention output, the split makes p-quantization negligible
+            # while both contractions stay on the int8 MXU
+            pv = p * vs_buf[slot, g : g + 1]  # (R, Tb)
+            pmax = jnp.maximum(jnp.max(jnp.abs(pv), axis=1, keepdims=True), 1e-30)
+            ps = pmax / (127.0 * 128.0)
+            pq = jnp.round(pv / ps)  # integers in [0, 16256]
+            hi = jnp.floor(pq / 128.0)
+            lo = pq - hi * 128.0
+
+            def _pdot(rows):
+                return jax.lax.dot_general(
+                    rows, vq_buf[slot, g],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+
+            contrib = (
+                _pdot(hi.astype(jnp.int8)) * 128.0 + _pdot(lo.astype(jnp.int8))
+            ) * ps  # (R, hd)
+            acc_ref[g] = acc_ref[g] * alpha + contrib
+            m_ref[g] = jnp.broadcast_to(m_new, m_ref[g].shape)
+            l_ref[g] = jnp.broadcast_to(l_new, l_ref[g].shape)
+        return carry
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    for g in range(kv_heads):
+        denom = jnp.maximum(l_ref[g][:, :1], 1e-30)
+        out_ref[0, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
+
+
+def decode_attention_bounded_q8(
+    q: jax.Array,  # (B, KV, R, hd)
+    cache_kq: jax.Array,  # (B, KV, T, hd) int8
+    cache_ks: jax.Array,  # (B, KV, T) f32
+    cache_vq: jax.Array,  # (B, KV, T, hd) int8
+    cache_vs: jax.Array,  # (B, KV, T) f32
+    valid_len: jax.Array,
+    t_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Bounded flash decode over an int8 KV cache (per-position-per-head
+    symmetric scales): halves decode HBM cache traffic and doubles the
+    context capacity per chip. Both contractions run on the int8 MXU (the
+    query and the scaled probabilities are quantized per row in-kernel)."""
+    B, KV, R, hd = q.shape
+    T = cache_kq.shape[2]
+    t_block = min(t_block, T)
+    if T % t_block != 0:
+        raise ValueError(f"T={T} not a multiple of t_block={t_block}")
+
+    kernel = functools.partial(
+        _decode_kernel_bounded_q8, kv_heads=KV, t_block=t_block, head_dim=hd
+    )
+    valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, KV, R, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, KV, R, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, KV, R, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, KV, t_block, hd), jnp.int8),
+            pltpu.VMEM((2, KV, t_block), jnp.float32),
+            pltpu.VMEM((2, KV, t_block, hd), jnp.int8),
+            pltpu.VMEM((2, KV, t_block), jnp.float32),
+            pltpu.VMEM((KV, R, 128), jnp.float32),
+            pltpu.VMEM((KV, R, 128), jnp.float32),
+            pltpu.VMEM((KV, R, hd), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )(valid, q, cache_kq, cache_ks, cache_vq, cache_vs)
+
+
 def decode_attention_reference(q, cache_k, cache_v, valid_len):
     """Plain-XLA reference with identical semantics (testing/fallback)."""
     hd = q.shape[-1]

@@ -44,16 +44,20 @@ def llama_param_specs(config: LlamaConfig, tp_axis: str = "tp") -> Dict[str, Any
 
 
 def llama_cache_specs(
-    config: LlamaConfig, tp_axis: str = "tp", dp_axis: str = None
+    config: LlamaConfig, tp_axis: str = "tp", dp_axis: str = None,
+    quantized: bool = False,
 ) -> Dict[str, Any]:
     """Per-layer (B, kv_heads, T, hd) cache leaves: kv heads split over tp;
     pass dp_axis to ALSO shard the batch dim for 2D dp x tp serving (weights
     replicated over dp, each dp row decoding its slice of the request
-    batch — the num_samples^2 PREGO sampling batch shards cleanly)."""
+    batch — the num_samples^2 PREGO sampling batch shards cleanly).
+    ``quantized`` matches int8 cache leaves ({"q","s"} — the (B, KV, T)
+    scale array shards on the same batch/head axes)."""
     spec = P(dp_axis, tp_axis, None, None)
+    leaf = {"q": spec, "s": P(dp_axis, tp_axis, None)} if quantized else spec
     return {
-        "k": [spec for _ in range(config.n_layers)],
-        "v": [spec for _ in range(config.n_layers)],
+        "k": [leaf for _ in range(config.n_layers)],
+        "v": [leaf for _ in range(config.n_layers)],
     }
 
 

@@ -38,7 +38,7 @@ def _watchdog(seconds: float):
     t.start()
 
 
-def _llama(tiny: bool, quantize: str):
+def _llama(tiny: bool, quantize: str, kv_quant: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -64,11 +64,11 @@ def _llama(tiny: bool, quantize: str):
         params = quantize_params(params)
     elif quantize == "int8x8":
         params = quantize_params(params, activations=True)
-    return Llama(params, tok, cfg), cfg
+    return Llama(params, tok, cfg, kv_quant=kv_quant), cfg
 
 
-def bench_decode(batch: int, tiny: bool, quantize: str = "none"):
-    llama, cfg = _llama(tiny, quantize)
+def bench_decode(batch: int, tiny: bool, quantize: str = "none", kv_quant: bool = False):
+    llama, cfg = _llama(tiny, quantize, kv_quant)
     gen_len = 32 if tiny else 128
     prompts = [[1, 2, 3, 4, 5, 6, 7, 8]] * batch
     llama.generate(prompts, max_gen_len=gen_len, temperature=0.0)  # compile
@@ -79,7 +79,9 @@ def bench_decode(batch: int, tiny: bool, quantize: str = "none"):
     dt = (time.perf_counter() - t0) / reps
     ms_per_step = dt / gen_len * 1e3
     return {
-        "case": f"decode_b{batch}" + (f"_{quantize}" if quantize != "none" else ""),
+        "case": f"decode_b{batch}"
+        + (f"_{quantize}" if quantize != "none" else "")
+        + ("_kv8" if kv_quant else ""),
         "value": round(ms_per_step, 3),
         "unit": "ms/step",
         "tok_per_s": round(batch * gen_len / dt, 1),
@@ -201,6 +203,8 @@ CASES = {
     "decode_b8": lambda tiny: bench_decode(8, tiny),
     "decode_b8_int8": lambda tiny: bench_decode(8, tiny, "int8"),
     "decode_b8_int8x8": lambda tiny: bench_decode(8, tiny, "int8x8"),
+    "decode_b8_kv8": lambda tiny: bench_decode(8, tiny, kv_quant=True),
+    "decode_b8_int8x8_kv8": lambda tiny: bench_decode(8, tiny, "int8x8", kv_quant=True),
     "online_perframe": lambda tiny: bench_online(1, tiny),
     "online_microbatch": lambda tiny: bench_online(256, tiny),
     "anticipation_step": bench_anticipation_step,

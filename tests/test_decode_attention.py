@@ -91,6 +91,69 @@ def test_bounded_small_buffer(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def _quantize_kv(x):
+    s = np.maximum(np.max(np.abs(x), axis=-1), 1e-8) / 127.0
+    q = np.round(x / s[..., None]).astype(np.int8)
+    return q, s.astype(np.float32)
+
+
+@pytest.mark.parametrize("valid", [1, 100, 256, 300, 512])
+def test_q8_matches_dequantized_reference(rng, valid):
+    """int8-KV flash decode vs the f32 reference run on the DEQUANTIZED
+    cache: isolates the kernel's own error (q/p row quantization) from
+    the storage quantization, which the bar covers separately."""
+    B, KV, R, hd, T = 2, 4, 1, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+    k_deq = kq.astype(np.float32) * ks[..., None]
+    v_deq = vq.astype(np.float32) * vs[..., None]
+
+    from prego_tpu.ops.decode_attention import decode_attention_bounded_q8
+
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k_deq), jnp.asarray(v_deq), jnp.int32(valid)
+    )
+    got = decode_attention_bounded_q8(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(ks),
+        jnp.asarray(vq), jnp.asarray(vs), jnp.int32(valid),
+        t_block=256, interpret=True,
+    )
+    # residual error: in-kernel q int8 rounding (p runs at int16-equivalent
+    # precision via the hi/lo split) — bounded in max-norm terms
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    norm = np.abs(np.asarray(ref)).max()
+    assert err.max() / norm < 0.01
+    assert err.mean() / norm < 0.003
+
+
+def test_q8_storage_error_budget(rng):
+    """End-to-end int8-KV attention vs the exact f32 attention on the
+    ORIGINAL cache: total relative error (storage + kernel) stays small."""
+    B, KV, R, hd, T = 1, 2, 1, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+
+    from prego_tpu.ops.decode_attention import decode_attention_bounded_q8
+
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(400)
+    )
+    got = decode_attention_bounded_q8(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(ks),
+        jnp.asarray(vq), jnp.asarray(vs), jnp.int32(400),
+        t_block=256, interpret=True,
+    )
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    norm = np.abs(np.asarray(ref)).max()
+    assert err.max() / norm < 0.02 and err.mean() / norm < 0.005
+
+
 @pytest.mark.parametrize("R", [4, 8])
 def test_gqa_wide_groups(rng, R):
     """GQA with many query heads per kv head (LLaMA-3-style ratios)."""

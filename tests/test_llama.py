@@ -156,6 +156,60 @@ def test_generate_greedy_matches_manual_loop(params_f32, rng):
     assert out == manual
 
 
+def test_kv_quant_cache_logits_close_and_greedy_agrees(params_f32, rng):
+    """int8 KV cache (model.init_cache(quantized=True)): decode logits stay
+    within the quantization budget of the bf16-cache path and greedy
+    generation agrees on clear-margin positions."""
+    B, S = 2, 12
+    tokens = rng.integers(0, CFG.vocab_size, (B, S)).astype(np.int32)
+
+    def rollout(quantized):
+        cache = init_cache(CFG, B, dtype=jnp.float32, quantized=quantized)
+        l1, cache = forward(
+            params_f32, jnp.asarray(tokens[:, :5]), jnp.int32(0), cache, CFG
+        )
+        outs = [np.asarray(l1)]
+        for t in range(5, S):
+            lt, cache = forward(
+                params_f32, jnp.asarray(tokens[:, t : t + 1]), jnp.int32(t), cache, CFG
+            )
+            outs.append(np.asarray(lt))
+        return np.concatenate(outs, axis=1)
+
+    exact = rollout(False)
+    q8 = rollout(True)
+    rms = np.sqrt(np.mean((exact - q8) ** 2)) / np.std(exact)
+    assert rms < 0.03  # relative logits drift budget
+    # greedy agreement wherever the fp path has a clear top1-top2 margin
+    srt = np.sort(exact, axis=-1)
+    margin = (srt[..., -1] - srt[..., -2]) / np.std(exact)
+    clear = margin > 0.25
+    agree = exact.argmax(-1) == q8.argmax(-1)
+    assert agree[clear].all()
+
+
+def test_kv_quant_generate_end_to_end():
+    """Llama(kv_quant=True) drives generation through the quantized cache
+    (fresh-cache and prefix-cache paths) and greedy output matches the
+    bf16-cache path on a tiny model."""
+    from prego_tpu.models.llama import ByteTokenizer, Llama
+
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    prompt = [5, 6, 7, 8]
+    base = Llama(params, tok, cfg).generate([prompt] * 2, max_gen_len=6, temperature=0.0)[0]
+    q8 = Llama(params, tok, cfg, kv_quant=True)
+    got = q8.generate([prompt] * 2, max_gen_len=6, temperature=0.0)[0]
+    assert got == base
+    # prefix-cached path constructs and reuses a quantized B=1 cache
+    long_prompt = list(range(4, 4 + 80))
+    out = q8.generate_with_prefix_cache(
+        [long_prompt + [9], long_prompt + [11]], max_gen_len=4, temperature=0.0
+    )
+    assert len(out) == 2 and all(len(t) <= 4 for t in out)
+
+
 def test_generate_unequal_prompts_keep_prompt_tokens(params_f32):
     """Longer prompts must survive the min-prompt prefill (gen.py:204-207)."""
     from prego_tpu.models.llama import ByteTokenizer, Llama

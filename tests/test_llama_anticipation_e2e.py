@@ -43,3 +43,23 @@ def test_anticipation_through_jax_llama():
         [3, 1], b, llm, max_gen_len=4, temperature=0.0, num_samples=2
     )
     assert all(len(p) == 1 for p in preds0)
+
+
+def test_anticipation_through_jax_llama_kv_quant_and_step_batch():
+    """--kv_quant --step_batch plumbing: int8 KV cache decode through the
+    full driver path, greedy output equal to the bf16-cache driver run."""
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    b = PromptBuilder(context="", toy="a08", type_prompt="num")
+
+    base = JaxLlamaAdapter(Llama(params, tok, cfg))
+    ref_preds, _ = anticipate_sequence(
+        [3, 1, 4], b, base, max_gen_len=4, temperature=0.0, num_samples=2
+    )
+    q8 = JaxLlamaAdapter(Llama(params, tok, cfg, kv_quant=True))
+    got, _ = anticipate_sequence(
+        [3, 1, 4], b, q8, max_gen_len=4, temperature=0.0, num_samples=2,
+        step_batch=2,
+    )
+    assert got == ref_preds
