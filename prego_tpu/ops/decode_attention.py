@@ -287,6 +287,7 @@ def _decode_kernel_bounded_q8(
     kv_heads: int,
     t_block: int,
     head_dim: int,
+    int8_mxu: bool,
 ):
     b = pl.program_id(0)
     valid = valid_ref[0, 0]
@@ -323,23 +324,37 @@ def _decode_kernel_bounded_q8(
         base = i * t_block
 
         for g in range(kv_heads):
-            # quantize the query per row so q@k runs int8 x int8 -> int32
-            # on the MXU (no per-block VPU dequant of the K tile)
-            q_g = q_ref[0, g].astype(jnp.float32)  # (R, hd)
-            qmax = jnp.maximum(jnp.max(jnp.abs(q_g), axis=1, keepdims=True), 1e-8)
-            qs = qmax / 127.0  # (R, 1)
-            q_q = jnp.round(q_g / qs).astype(jnp.int8)
-
-            # int8 operands straight into the dot — Mosaic lowers this to
-            # the native int8 MXU with int32 accumulation (casting to int32
-            # first produces an unsupported i32 x i32 matmul)
-            s_i32 = jax.lax.dot_general(
-                q_q, kq_buf[slot, g],
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (R, Tb)
             k_sc = ks_buf[slot, g : g + 1]  # (1, Tb)
-            s = s_i32.astype(jnp.float32) * qs * k_sc * scale
+            if int8_mxu:
+                # quantize the query per row so q@k runs int8 x int8 ->
+                # int32 on the MXU (int8 operands straight into the dot —
+                # casting to int32 first is an unsupported Mosaic matmul)
+                q_g = q_ref[0, g].astype(jnp.float32)  # (R, hd)
+                qmax = jnp.maximum(
+                    jnp.max(jnp.abs(q_g), axis=1, keepdims=True), 1e-8
+                )
+                qs = qmax / 127.0  # (R, 1)
+                q_q = jnp.round(q_g / qs).astype(jnp.int8)
+                s_i32 = jax.lax.dot_general(
+                    q_q, kq_buf[slot, g],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (R, Tb)
+                s = s_i32.astype(jnp.float32) * qs * k_sc * scale
+            else:
+                # VPU-dequantize the int8 tile to bf16 and ride the proven
+                # bf16 MXU path (the transposed int8 contraction lowers to
+                # a slow Mosaic fallback on v5e)
+                k_bf = kq_buf[slot, g].astype(jnp.bfloat16)  # (Tb, hd)
+                s = (
+                    jax.lax.dot_general(
+                        q_ref[0, g].astype(jnp.bfloat16), k_bf,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * k_sc
+                    * scale
+                )  # (R, Tb)
             pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(pos < valid, s, -1e30)
 
@@ -349,28 +364,37 @@ def _decode_kernel_bounded_q8(
             p = jnp.exp(s - m_new)  # (R, Tb)
 
             l_new = l_ref[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-            # fold the per-position v scale into p, then quantize p per row
-            # at int16-equivalent precision emulated as TWO 7-bit int8 dots
-            # (hi/lo split): single-int8 p costs ~2% max-norm error on the
-            # attention output, the split makes p-quantization negligible
-            # while both contractions stay on the int8 MXU
+            # fold the per-position v scale into p
             pv = p * vs_buf[slot, g : g + 1]  # (R, Tb)
-            pmax = jnp.maximum(jnp.max(jnp.abs(pv), axis=1, keepdims=True), 1e-30)
-            ps = pmax / (127.0 * 128.0)
-            pq = jnp.round(pv / ps)  # integers in [0, 16256]
-            hi = jnp.floor(pq / 128.0)
-            lo = pq - hi * 128.0
+            if int8_mxu:
+                # quantize p per row at int16-equivalent precision emulated
+                # as TWO 7-bit int8 dots (hi/lo split): single-int8 p costs
+                # ~2% max-norm error, the split makes it negligible
+                pmax = jnp.maximum(
+                    jnp.max(jnp.abs(pv), axis=1, keepdims=True), 1e-30
+                )
+                ps = pmax / (127.0 * 128.0)
+                pq = jnp.round(pv / ps)  # integers in [0, 16256]
+                hi = jnp.floor(pq / 128.0)
+                lo = pq - hi * 128.0
 
-            def _pdot(rows):
-                return jax.lax.dot_general(
-                    rows, vq_buf[slot, g],
+                def _pdot(rows):
+                    return jax.lax.dot_general(
+                        rows, vq_buf[slot, g],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+
+                contrib = (
+                    _pdot(hi.astype(jnp.int8)) * 128.0 + _pdot(lo.astype(jnp.int8))
+                ) * ps  # (R, hd)
+            else:
+                contrib = jax.lax.dot_general(
+                    pv.astype(jnp.bfloat16),
+                    vq_buf[slot, g].astype(jnp.bfloat16),
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32)
-
-            contrib = (
-                _pdot(hi.astype(jnp.int8)) * 128.0 + _pdot(lo.astype(jnp.int8))
-            ) * ps  # (R, hd)
+                    preferred_element_type=jnp.float32,
+                )  # (R, hd)
             acc_ref[g] = acc_ref[g] * alpha + contrib
             m_ref[g] = jnp.broadcast_to(m_new, m_ref[g].shape)
             l_ref[g] = jnp.broadcast_to(l_new, l_ref[g].shape)
@@ -392,11 +416,15 @@ def decode_attention_bounded_q8(
     valid_len: jax.Array,
     t_block: int = 256,
     interpret: bool = False,
+    int8_mxu: bool = False,
 ) -> jax.Array:
     """Bounded flash decode over an int8 KV cache (per-position-per-head
     symmetric scales): halves decode HBM cache traffic and doubles the
-    context capacity per chip. Both contractions run on the int8 MXU (the
-    query and the scaled probabilities are quantized per row in-kernel)."""
+    context capacity per chip. Default mode dequantizes each staged tile
+    to bf16 on the VPU and rides the bf16 MXU — measured 48 ms/step for
+    the transposed int8 contraction on v5e (Mosaic fallback) vs the bf16
+    path's sub-ms, so ``int8_mxu=True`` is kept for re-evaluation on
+    hardware whose Mosaic lowers it natively."""
     B, KV, R, hd = q.shape
     T = cache_kq.shape[2]
     t_block = min(t_block, T)
@@ -404,7 +432,8 @@ def decode_attention_bounded_q8(
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
 
     kernel = functools.partial(
-        _decode_kernel_bounded_q8, kv_heads=KV, t_block=t_block, head_dim=hd
+        _decode_kernel_bounded_q8, kv_heads=KV, t_block=t_block, head_dim=hd,
+        int8_mxu=int8_mxu,
     )
     valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
     return pl.pallas_call(

@@ -97,8 +97,9 @@ def _quantize_kv(x):
     return q, s.astype(np.float32)
 
 
+@pytest.mark.parametrize("int8_mxu", [False, True])
 @pytest.mark.parametrize("valid", [1, 100, 256, 300, 512])
-def test_q8_matches_dequantized_reference(rng, valid):
+def test_q8_matches_dequantized_reference(rng, valid, int8_mxu):
     """int8-KV flash decode vs the f32 reference run on the DEQUANTIZED
     cache: isolates the kernel's own error (q/p row quantization) from
     the storage quantization, which the bar covers separately."""
@@ -119,10 +120,11 @@ def test_q8_matches_dequantized_reference(rng, valid):
     got = decode_attention_bounded_q8(
         jnp.asarray(q), jnp.asarray(kq), jnp.asarray(ks),
         jnp.asarray(vq), jnp.asarray(vs), jnp.int32(valid),
-        t_block=256, interpret=True,
+        t_block=256, interpret=True, int8_mxu=int8_mxu,
     )
-    # residual error: in-kernel q int8 rounding (p runs at int16-equivalent
-    # precision via the hi/lo split) — bounded in max-norm terms
+    # residual error: bf16 rounding (default mode) or in-kernel q int8
+    # rounding (int8_mxu; p runs at int16-equivalent precision via the
+    # hi/lo split) — bounded in max-norm terms
     err = np.abs(np.asarray(got) - np.asarray(ref))
     norm = np.abs(np.asarray(ref)).max()
     assert err.max() / norm < 0.01
