@@ -41,15 +41,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "config", "temperature", "top_p", "eos_id", "pad_id", "want_logprobs",
-        "kv_quant",
-    ),
-    donate_argnames=("cache",),
-)
-def _generate_jit(
+def _generate_body(
     params: Params,
     tokens: jax.Array,  # (B, suffix_buf) int32, pad-filled — SUFFIX coords
     min_prompt_len: jax.Array,  # scalar int32, suffix coords
@@ -140,6 +132,47 @@ def _generate_jit(
     )
     _, tokens, _, _, logprobs, _, _ = jax.lax.while_loop(cond, body, state)
     return tokens, logprobs
+
+
+_GEN_STATICS = (
+    "config", "temperature", "top_p", "eos_id", "pad_id", "want_logprobs",
+    "kv_quant",
+)
+
+# fresh-cache / pre-broadcast-cache entry: cache donated (consumed)
+_generate_jit = functools.partial(
+    jax.jit, static_argnames=_GEN_STATICS, donate_argnames=("cache",)
+)(_generate_body)
+
+
+@functools.partial(
+    jax.jit, static_argnames=_GEN_STATICS + ("batch",)
+)
+def _generate_from_prefix_jit(
+    params: Params,
+    tokens: jax.Array,
+    min_prompt_len: jax.Array,
+    total_len: jax.Array,
+    cache: Cache,  # B=1 prefix cache — NOT donated (reused across calls);
+    #               broadcast to the request batch INSIDE the jit: doing the
+    #               per-leaf repeat host-side costs one dispatch per cache
+    #               leaf (~2 ms each over a tunneled chip = 60-100 ms/call)
+    key: jax.Array,
+    start_offset: jax.Array,
+    config: LlamaConfig,
+    temperature: float,
+    top_p: float,
+    eos_id: int,
+    pad_id: int,
+    want_logprobs: bool = False,
+    kv_quant: bool = False,
+    batch: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    cache = jax.tree.map(lambda x: jnp.repeat(x, batch, axis=0), cache)
+    return _generate_body(
+        params, tokens, min_prompt_len, total_len, cache, key, start_offset,
+        config, temperature, top_p, eos_id, pad_id, want_logprobs, kv_quant,
+    )
 
 
 @functools.partial(
@@ -340,15 +373,15 @@ class Llama:
         for i, s in enumerate(suffixes):
             tokens[i, : len(s)] = np.asarray(s, np.int32)
 
-        # broadcast the B=1 prefix KV to the batch (decode writes per-row)
-        cache = jax.tree.map(lambda x: jnp.repeat(x, bsz, axis=0), cache1)
+        # the B=1 prefix KV is broadcast to the batch INSIDE the jit
+        # (decode writes per-row); the prefix cache itself is not donated
         self._key, key = jax.random.split(self._key)
-        out, _ = _generate_jit(
+        out, _ = _generate_from_prefix_jit(
             self.params,
             jnp.asarray(tokens),
             jnp.int32(min_s),
             jnp.int32(total_s),
-            cache,
+            cache1,
             key,
             jnp.int32(eff),
             config=config,
@@ -356,6 +389,8 @@ class Llama:
             top_p=float(top_p),
             eos_id=int(self.tokenizer.eos_id),
             pad_id=int(pad_id),
+            kv_quant=self.kv_quant,
+            batch=bsz,
         )
         out = jax.device_get(out)
 

@@ -139,7 +139,8 @@ def bench_online(micro_batch: int, tiny: bool):
     }
 
 
-def bench_anticipation_step(tiny: bool, step_batch: int = 1):
+def bench_anticipation_step(tiny: bool, step_batch: int = 1,
+                            quantize: str = "none", kv_quant: bool = False):
     """The PREGO anticipation serving step: 4 sampled generations sharing
     a long few-shot context (driver.py:71-81 batched num_samples²
     dispatch), served with the KV prefix cache. RESULTS.md headline row.
@@ -150,7 +151,7 @@ def bench_anticipation_step(tiny: bool, step_batch: int = 1):
     import jax.numpy as jnp
 
     from prego_tpu.models.llama import ByteTokenizer, Llama, LlamaConfig, init_params
-    from prego_tpu.models.llama.model import fuse_projections
+    from prego_tpu.models.llama.model import fuse_projections, quantize_params
 
     tok = ByteTokenizer()
     bsz = 4 * step_batch
@@ -168,7 +169,11 @@ def bench_anticipation_step(tiny: bool, step_batch: int = 1):
         ctx_len, gen_len = 1500, 8
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     params = fuse_projections(init_params(cfg, jax.random.PRNGKey(0), dtype=dtype))
-    llama = Llama(params, tok, cfg)
+    if quantize == "int8":
+        params = quantize_params(params)
+    elif quantize == "int8x8":
+        params = quantize_params(params, activations=True)
+    llama = Llama(params, tok, cfg, kv_quant=kv_quant)
     rng = np.random.default_rng(0)
     context = rng.integers(4, 200, ctx_len).tolist()
 
@@ -190,7 +195,9 @@ def bench_anticipation_step(tiny: bool, step_batch: int = 1):
     dt = (time.perf_counter() - t0) / reps / step_batch
     return {
         "case": "anticipation_step"
-        + (f"_sb{step_batch}" if step_batch > 1 else ""),
+        + (f"_sb{step_batch}" if step_batch > 1 else "")
+        + (f"_{quantize}" if quantize != "none" else "")
+        + ("_kv8" if kv_quant else ""),
         "value": round(dt * 1e3, 1),
         "unit": "ms/step (4 gens, shared ctx)",
         "ctx_len": ctx_len,
@@ -209,6 +216,12 @@ CASES = {
     "online_microbatch": lambda tiny: bench_online(256, tiny),
     "anticipation_step": bench_anticipation_step,
     "anticipation_step_sb2": lambda tiny: bench_anticipation_step(tiny, 2),
+    "anticipation_step_int8x8_kv8": lambda tiny: bench_anticipation_step(
+        tiny, quantize="int8x8", kv_quant=True),
+    "anticipation_step_int8x8": lambda tiny: bench_anticipation_step(
+        tiny, quantize="int8x8"),
+    "anticipation_step_kv8": lambda tiny: bench_anticipation_step(
+        tiny, kv_quant=True),
 }
 
 
