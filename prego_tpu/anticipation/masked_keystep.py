@@ -34,7 +34,14 @@ def sample_history_batch(
 ) -> Dict[str, List]:
     """collate_fn parity (assembly_text.py:104-114): one shared random cut
     n ~ uniform[1, min_len-1) across the batch; history = steps[:n],
-    ground truth = steps[n]."""
+    ground truth = steps[n]. Length-1 sequences carry no (history, next)
+    pair at all, so they are rejected rather than leaking the answer."""
+    if any(len(s) < 2 for s in sequences):
+        raise ValueError(
+            "sample_history_batch needs every sequence to have >= 2 keysteps "
+            "(a length-1 procedure has no next-step ground truth); filter "
+            "short procedures out before batching"
+        )
     min_n = min(len(s) for s in sequences) - 1
     if min_n < 2:
         n = 1
@@ -118,8 +125,11 @@ def run_masked_keystep_experiment(
     rounds: int = 8,
     seed: int = 0,
 ) -> Dict[str, float]:
-    """Returns exact and fuzzy (verb-part overlap) next-keystep accuracy."""
+    """Returns exact and fuzzy (verb-part overlap) next-keystep accuracy.
+    Length-1 test procedures have no next-step ground truth and are
+    skipped (sample_history_batch rejects them)."""
     fill_fn = fill_fn or HistogramMaskedLM(train_sequences)
+    test_sequences = [s for s in test_sequences if len(s) >= 2]
     rng = np.random.default_rng(seed)
     total = exact = fuzzy = 0
     for _ in range(rounds):

@@ -61,9 +61,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int32,
     ]
-    lib.fs_gather_windows_async.restype = ctypes.c_void_p
-    lib.fs_gather_windows_async.argtypes = lib.fs_gather_windows.argtypes
-    lib.fs_gather_wait.argtypes = [ctypes.c_void_p]
+    # async gather entry points were added after the first .so release; a
+    # stale library (built before them) must not break loading — degrade
+    # to the synchronous gather path instead
+    try:
+        lib.fs_gather_windows_async.restype = ctypes.c_void_p
+        lib.fs_gather_windows_async.argtypes = lib.fs_gather_windows.argtypes
+        lib.fs_gather_wait.argtypes = [ctypes.c_void_p]
+        lib._has_async_gather = True
+    except AttributeError:
+        lib._has_async_gather = False
     lib.fs_read_all.argtypes = [
         ctypes.c_void_p,
         ctypes.c_int32,
@@ -165,6 +172,10 @@ class NativeFeatureStore:
         if out is None:
             out = np.empty((count, window, dim), np.float32)
         assert out.shape == (count, window, dim) and out.dtype == np.float32
+        if not getattr(self._lib, "_has_async_gather", False):
+            # stale .so without the async entry points: gather synchronously
+            out[:] = self.gather_windows(vid_idx, starts, window, dim)
+            return PendingGather(self._lib, None, out)
         ticket = self._lib.fs_gather_windows_async(
             self._handle,
             vid_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

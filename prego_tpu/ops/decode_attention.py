@@ -147,8 +147,11 @@ def _decode_kernel_bounded(
     b = pl.program_id(0)
     valid = valid_ref[0, 0]
     # dynamic trip count: blocks wholly past valid_len are never DMA'd,
-    # so HBM cache traffic scales with occupancy, not buffer length
-    n_blocks = (valid + t_block - 1) // t_block
+    # so HBM cache traffic scales with occupancy, not buffer length.
+    # Clamped to >= 1: the block-0 DMA is started unconditionally below,
+    # so valid_len == 0 must still run one (fully masked) iteration or
+    # the copy would never be awaited (dangling semaphore)
+    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
 
     m_ref[:] = jnp.full_like(m_ref, -1e30)
     l_ref[:] = jnp.zeros_like(l_ref)
@@ -291,7 +294,8 @@ def _decode_kernel_bounded_q8(
 ):
     b = pl.program_id(0)
     valid = valid_ref[0, 0]
-    n_blocks = (valid + t_block - 1) // t_block
+    # clamped like _decode_kernel_bounded: the warmup DMA must be awaited
+    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
 
     m_ref[:] = jnp.full_like(m_ref, -1e30)
     l_ref[:] = jnp.zeros_like(l_ref)

@@ -264,6 +264,11 @@ class OnlineMistakeDetector:
         This decouples single-stream serving throughput from the per-frame
         host<->device round-trip (the per-frame path pays one RTT per frame).
         """
+        assert self.recognizer.batch == 1, (
+            "push_frames drives a SINGLE stream; a recognizer built with "
+            f"batch={self.recognizer.batch} would broadcast every stream's "
+            "votes into one aggregator row — use MultiStreamMistakeDetector"
+        )
         if self._block_fn is None:
             self._block_fn = _make_detector_block_fn(
                 self.recognizer.model,

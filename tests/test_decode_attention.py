@@ -75,6 +75,21 @@ def test_bounded_matches_reference(rng, valid, R):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_bounded_empty_cache_defined(rng):
+    """valid_len == 0 must stay defined (one fully-masked block iteration,
+    zeros out) — the warmup DMA is started unconditionally and has to be
+    awaited rather than left dangling."""
+    B, KV, R, hd, T = 1, 2, 1, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    got = decode_attention_bounded(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(0),
+        t_block=256, interpret=True,
+    )
+    assert np.all(np.asarray(got) == 0)
+
+
 def test_bounded_small_buffer(rng):
     """T smaller than the default t_block clamps the block size."""
     B, KV, R, hd, T = 1, 2, 1, 128, 128
