@@ -203,7 +203,10 @@ def _decode_kernel_bounded(
             m_old = m_ref[g][:, :1]
             m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp(m_old - m_new)
-            p = jnp.exp(s - m_new)
+            # explicit re-mask: in an ALL-masked block (the valid_len == 0
+            # clamp iteration) m_new stays -1e30 and exp(s - m_new) would be
+            # exp(0) = 1 for every masked position
+            p = jnp.where(pos < valid, jnp.exp(s - m_new), 0.0)
 
             l_new = l_ref[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc_ref[g] = acc_ref[g] * alpha + jax.lax.dot_general(
@@ -365,7 +368,9 @@ def _decode_kernel_bounded_q8(
             m_old = m_ref[g][:, :1]
             m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
             alpha = jnp.exp(m_old - m_new)
-            p = jnp.exp(s - m_new)  # (R, Tb)
+            # explicit re-mask (see _decode_kernel_bounded): all-masked
+            # blocks must contribute zero, not exp(0)
+            p = jnp.where(pos < valid, jnp.exp(s - m_new), 0.0)  # (R, Tb)
 
             l_new = l_ref[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
             # fold the per-position v scale into p
