@@ -131,10 +131,18 @@ def _anticipate_sequence_step_batched(
         for i in idxs:
             prompts.extend([builder.step_prompt(seq, i)] * n)
             metas.append((len(builder.history(seq, i)), seq[i]))
+        # pad tail-of-video dispatches to the full step_batch x n prompt
+        # count (duplicates of the last prompt, results discarded): a
+        # smaller final batch would otherwise compile a SECOND jit
+        # signature per suffix bucket — each costing minutes on a
+        # remote-compile TPU backend
+        n_real = len(prompts)
+        if n_real < step_batch * n:
+            prompts = prompts + [prompts[-1]] * (step_batch * n - n_real)
         t_call = time.perf_counter()
         results = llm.text_completion(
             prompts, max_gen_len=max_gen_len, temperature=temperature, top_p=top_p
-        )
+        )[:n_real]
         if latencies is not None:
             latencies.append(time.perf_counter() - t_call)
         for j, (hist_len, action) in enumerate(metas):

@@ -182,10 +182,12 @@ def test_step_batched_equals_per_step():
             seq, b, llm2, num_samples=2, step_batch=sb, out_plot=plot2, latencies=[]
         )
         assert p2 == p1 and g2 == g1 and plot2 == plot1
-    # dispatch count shrinks: 7 steps at step_batch=3 -> 3 calls of <=12
+    # dispatch count shrinks: 7 steps at step_batch=3 -> 3 calls, and the
+    # tail call is PADDED to the same 12-prompt signature (one compile
+    # signature per suffix bucket; padding results are discarded)
     llm3 = FakeLLM()
     anticipate_sequence(seq, b, llm3, num_samples=2, step_batch=3)
-    assert [len(c) for c in llm3.calls] == [12, 12, 4]
+    assert [len(c) for c in llm3.calls] == [12, 12, 12]
 
 
 def test_step_batch_rejects_reference_mode():
