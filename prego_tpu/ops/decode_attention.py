@@ -224,6 +224,113 @@ def _decode_kernel_bounded(
         out_ref[0, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
 
 
+def _decode_kernel_bounded_fold(
+    valid_ref,  # (1, 1) SMEM int32
+    q_ref,  # (B, KV, R, hd) VMEM — ALL batch rows resident (tiny)
+    k_hbm,  # (B, KV, T, hd) ANY/HBM
+    v_hbm,  # (B, KV, T, hd) ANY/HBM
+    out_ref,  # (B, KV, R, hd) VMEM
+    k_buf,  # (2, KV, Tb, hd) VMEM scratch — double buffer
+    v_buf,
+    m_ref,  # (KV, R, 128) f32 scratch
+    l_ref,
+    acc_ref,  # (KV, R, hd) f32 scratch
+    sem,
+    *,
+    batch: int,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+):
+    """Batch-FOLDED variant: one grid program walks a flat (b, block)
+    sequence in a single fori_loop, so the double-buffered DMA pipeline
+    spans batch-row boundaries (row b+1's first block prefetches while
+    row b's last block computes) and the per-grid-program overhead of the
+    (B,) grid is paid once instead of B times."""
+    valid = valid_ref[0, 0]
+    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
+    total = batch * n_blocks
+
+    def k_dma(slot, flat):
+        b = flat // n_blocks
+        idx = flat - b * n_blocks
+        return pltpu.make_async_copy(
+            k_hbm.at[b, :, pl.ds(idx * t_block, t_block), :],
+            k_buf.at[slot],
+            sem.at[slot, 0],
+        )
+
+    def v_dma(slot, flat):
+        b = flat // n_blocks
+        idx = flat - b * n_blocks
+        return pltpu.make_async_copy(
+            v_hbm.at[b, :, pl.ds(idx * t_block, t_block), :],
+            v_buf.at[slot],
+            sem.at[slot, 1],
+        )
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+    scale = jax.lax.rsqrt(jnp.asarray(head_dim, jnp.float32))
+
+    def body(f, carry):
+        slot = jax.lax.rem(f, 2)
+        nxt = jax.lax.rem(f + 1, 2)
+
+        @pl.when(f + 1 < total)
+        def _():
+            k_dma(nxt, f + 1).start()
+            v_dma(nxt, f + 1).start()
+
+        k_dma(slot, f).wait()
+        v_dma(slot, f).wait()
+        b = f // n_blocks
+        i = f - b * n_blocks
+
+        @pl.when(i == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, -1e30)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        base = i * t_block
+        for g in range(kv_heads):
+            q_g = q_ref[b, g]  # (R, hd) — dynamic untiled leading index
+            s = (
+                jax.lax.dot_general(
+                    q_g, k_buf[slot, g], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(pos < valid, s, -1e30)
+
+            m_old = m_ref[g][:, :1]
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_old - m_new)
+            # explicit re-mask: all-masked blocks must contribute zero
+            p = jnp.where(pos < valid, jnp.exp(s - m_new), 0.0)
+
+            l_new = l_ref[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[g] = acc_ref[g] * alpha + jax.lax.dot_general(
+                p.astype(v_buf.dtype), v_buf[slot, g], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[g] = jnp.broadcast_to(m_new, m_ref[g].shape)
+            l_ref[g] = jnp.broadcast_to(l_new, l_ref[g].shape)
+
+        @pl.when(i == n_blocks - 1)
+        def _():
+            for g in range(kv_heads):
+                denom = jnp.maximum(l_ref[g][:, :1], 1e-30)
+                out_ref[b, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
+
+        return carry
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
 def decode_attention_bounded(
     q: jax.Array,  # (B, KV, R, hd)
     cache_k: jax.Array,  # (B, KV, T, hd)
@@ -231,23 +338,52 @@ def decode_attention_bounded(
     valid_len: jax.Array,  # scalar int32
     t_block: int = 256,
     interpret: bool = False,
+    fold_batch: bool = False,
 ) -> jax.Array:
     """Flash-decode variant whose HBM cache reads stop at valid_len: the
     block walk is a dynamic-trip fori_loop with manual double-buffered
     DMA (k/v blocks staged HBM -> VMEM scratch), so a decode at position p
     reads ceil(p / t_block) blocks instead of T / t_block. At PREGO's
     serving occupancy (~1.5k of 2048, or 136 of 512 in the decode bench)
-    this removes most of the 0.67 ms/step full-window KV read."""
+    this removes most of the 0.67 ms/step full-window KV read.
+    ``fold_batch`` runs the whole batch in ONE grid program (flat
+    (b, block) walk) so the DMA pipeline crosses batch-row boundaries."""
     B, KV, R, hd = q.shape
     T = cache_k.shape[2]
     t_block = min(t_block, T)
     if T % t_block != 0:
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
 
+    valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    if fold_batch:
+        kernel = functools.partial(
+            _decode_kernel_bounded_fold,
+            batch=B, kv_heads=KV, t_block=t_block, head_dim=hd,
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, KV, R, hd), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, KV, t_block, hd), cache_k.dtype),
+                pltpu.VMEM((2, KV, t_block, hd), cache_v.dtype),
+                pltpu.VMEM((KV, R, 128), jnp.float32),
+                pltpu.VMEM((KV, R, 128), jnp.float32),
+                pltpu.VMEM((KV, R, hd), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+        )(valid, q, cache_k, cache_v)
+
     kernel = functools.partial(
         _decode_kernel_bounded, kv_heads=KV, t_block=t_block, head_dim=hd
     )
-    valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         kernel,
         grid=(B,),

@@ -52,9 +52,10 @@ def test_online_softmax_across_blocks(rng):
         )
 
 
+@pytest.mark.parametrize("fold", [False, True])
 @pytest.mark.parametrize("valid", [1, 100, 255, 256, 257, 511, 512])
 @pytest.mark.parametrize("R", [1, 2])
-def test_bounded_matches_reference(rng, valid, R):
+def test_bounded_matches_reference(rng, valid, R, fold):
     """The DMA-bounded variant must equal the reference at every block
     occupancy, including exact block boundaries (its trip count is
     dynamic in valid_len)."""
@@ -70,7 +71,7 @@ def test_bounded_matches_reference(rng, valid, R):
     )
     got = decode_attention_bounded(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
-        t_block=256, interpret=True,
+        t_block=256, interpret=True, fold_batch=fold,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
