@@ -305,18 +305,31 @@ class Llama:
 
     # -- prefix-cached generation --
 
+    # prefill BUILD granularity: bigger than PREFIX_CHUNK (the eff/reuse
+    # granularity) so a ~1.5k-token context costs ~6 dispatches instead of
+    # ~23; the tail chunk is pad-filled to keep ONE compile signature —
+    # padded positions only write cache entries past the prefix length,
+    # which decode never attends (positions >= start_offset are masked)
+    PREFIX_BUILD_CHUNK = 256
+
     def _ensure_prefix_cache(self, prefix: Tuple[int, ...]) -> Cache:
         if self._prefix_key != prefix:
             cache = init_cache(
                 self.config, 1, dtype=self.params["norm"].dtype,
                 quantized=self.kv_quant,
             )
+            step = min(self.PREFIX_BUILD_CHUNK, self.config.max_seq_len)
             buf = np.asarray(prefix, np.int32)
-            for i in range(0, len(prefix), self.PREFIX_CHUNK):
-                chunk = buf[i : i + self.PREFIX_CHUNK][None, :]
+            for i in range(0, len(prefix), step):
+                chunk = buf[i : i + step]
+                if len(chunk) < step:
+                    chunk = np.concatenate(
+                        [chunk, np.full(step - len(chunk),
+                                        self.tokenizer.pad_id, np.int32)]
+                    )
                 cache = _prefill_chunk(
-                    self.params, jnp.asarray(chunk), jnp.int32(i), cache,
-                    config=self.config,
+                    self.params, jnp.asarray(chunk[None, :]), jnp.int32(i),
+                    cache, config=self.config,
                 )
             self._prefix_key = prefix
             self._prefix_cache = cache
