@@ -185,11 +185,26 @@ def gru_trainable(
     return hs, hT
 
 
+def _fit_batch_block(batch_block: int, hidden_dim: int, stream) -> int:
+    """Clamp the per-grid batch block so the train kernels fit scoped
+    VMEM with the (H, 3H) W_hh resident. At H >= 1024 the production
+    shape sits at the 16 MB edge: blocks beyond 16 rows fail Mosaic
+    compilation for BOTH f32 (12.6 MB weights) and bf16 (6.3 MB weights
+    + double-buffered fwd/bwd block sets) — the remote compile helper
+    reports only 'subprocess exit code 1'. 16 is the empirically proven
+    size on v5e; throughput is insensitive because the recurrence is
+    bandwidth-bound on W_hh, which stays resident either way."""
+    if hidden_dim >= 1024:
+        return min(batch_block, 16)
+    return batch_block
+
+
 def _gru_fwd_impl(x, h0, params, time_block, batch_block, interpret, stream_dtype):
     B, T, _ = x.shape
     if T % time_block != 0:
         raise ValueError("gru_trainable requires T % time_block == 0")
     stream = stream_dtype or x.dtype
+    batch_block = _fit_batch_block(batch_block, h0.shape[-1], stream)
     xg = (
         jnp.einsum("bte,eg->tbg", x, params["w_ih"], preferred_element_type=jnp.float32)
         + params["b_ih"]
@@ -227,7 +242,9 @@ def _gru_bwd(time_block, batch_block, interpret, stream_dtype, residuals, grads)
 
     dxg_tm, r_tm, dh0 = gru_bwd_pallas(
         xg_tm, hprev_tm, dhs_tm, params["w_hh"].astype(stream), params["b_hh"],
-        time_block=time_block, batch_block=min(batch_block, 32), interpret=interpret,
+        time_block=time_block,
+        batch_block=_fit_batch_block(min(batch_block, 32), H, stream),
+        interpret=interpret,
     )
 
     dxg = dxg_tm.astype(jnp.float32)
