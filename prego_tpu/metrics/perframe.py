@@ -1,5 +1,9 @@
 """Per-frame average-precision metrics.
 
+Attribution: the AP/cAP/per-stage definitions below follow the reference's
+LSTR-derived evaluation code structure-for-structure — they are the output
+contract of the benchmark, treated as spec, not original algorithm design.
+
 Parity surface: step_recognition/utils/metrics.py:10-130 (itself from LSTR):
   * perframe_average_precision — per-class AP over frames, background
     class 0 ignored, classes with no positive frames skipped, mean over

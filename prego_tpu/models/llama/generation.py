@@ -139,9 +139,10 @@ _GEN_STATICS = (
     "kv_quant",
 )
 
-# fresh-cache / pre-broadcast-cache entry: cache donated (consumed)
+# fresh-cache entry: the only call site passes cache=None (the cache is
+# built inside the jit), so there is nothing to donate
 _generate_jit = functools.partial(
-    jax.jit, static_argnames=_GEN_STATICS, donate_argnames=("cache",)
+    jax.jit, static_argnames=_GEN_STATICS
 )(_generate_body)
 
 

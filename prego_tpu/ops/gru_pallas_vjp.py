@@ -185,7 +185,7 @@ def gru_trainable(
     return hs, hT
 
 
-def _fit_batch_block(batch_block: int, hidden_dim: int, stream) -> int:
+def _fit_batch_block(batch_block: int, batch: int, hidden_dim: int) -> int:
     """Clamp the per-grid batch block so the train kernels fit scoped
     VMEM with the (H, 3H) W_hh resident. At H >= 1024 the production
     shape sits at the 16 MB edge: blocks beyond 16 rows fail Mosaic
@@ -193,10 +193,18 @@ def _fit_batch_block(batch_block: int, hidden_dim: int, stream) -> int:
     + double-buffered fwd/bwd block sets) — the remote compile helper
     reports only 'subprocess exit code 1'. 16 is the empirically proven
     size on v5e; throughput is insensitive because the recurrence is
-    bandwidth-bound on W_hh, which stays resident either way."""
+    bandwidth-bound on W_hh, which stays resident either way.
+
+    The returned block always divides `batch` (the kernels require
+    B % batch_block == 0): we take the largest divisor of B that fits
+    under both the caller's block and the VMEM cap, so shapes like
+    B=24 at H=1024 run with block 8 instead of raising."""
+    cap = min(batch_block, batch)
     if hidden_dim >= 1024:
-        return min(batch_block, 16)
-    return batch_block
+        cap = min(cap, 16)
+    while cap > 1 and batch % cap != 0:
+        cap -= 1
+    return max(cap, 1)
 
 
 def _gru_fwd_impl(x, h0, params, time_block, batch_block, interpret, stream_dtype):
@@ -204,7 +212,7 @@ def _gru_fwd_impl(x, h0, params, time_block, batch_block, interpret, stream_dtyp
     if T % time_block != 0:
         raise ValueError("gru_trainable requires T % time_block == 0")
     stream = stream_dtype or x.dtype
-    batch_block = _fit_batch_block(batch_block, h0.shape[-1], stream)
+    batch_block = _fit_batch_block(batch_block, B, h0.shape[-1])
     xg = (
         jnp.einsum("bte,eg->tbg", x, params["w_ih"], preferred_element_type=jnp.float32)
         + params["b_ih"]
@@ -243,7 +251,7 @@ def _gru_bwd(time_block, batch_block, interpret, stream_dtype, residuals, grads)
     dxg_tm, r_tm, dh0 = gru_bwd_pallas(
         xg_tm, hprev_tm, dhs_tm, params["w_hh"].astype(stream), params["b_hh"],
         time_block=time_block,
-        batch_block=_fit_batch_block(min(batch_block, 32), H, stream),
+        batch_block=_fit_batch_block(min(batch_block, 32), B, H),
         interpret=interpret,
     )
 

@@ -29,7 +29,7 @@ Serving-scale paths (all equality-tested against the per-frame loop):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Set
+from typing import Dict, List, Optional, Set
 
 import jax
 import jax.numpy as jnp

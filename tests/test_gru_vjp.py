@@ -75,3 +75,32 @@ def test_last_frame_loss_gradients(setup):
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(ref[k]), rtol=3e-4, atol=3e-4, err_msg=k
         )
+
+
+def test_fit_batch_block_divides_batch():
+    """ADVICE r2: the H>=1024 VMEM clamp must still return a divisor of B
+    (B=24 previously raised ValueError because min(block,16)=16 ∤ 24)."""
+    from prego_tpu.ops.gru_pallas_vjp import _fit_batch_block
+
+    assert _fit_batch_block(64, 24, 1024) == 12
+    assert _fit_batch_block(64, 40, 1024) == 10
+    assert _fit_batch_block(64, 56, 1024) == 14
+    assert _fit_batch_block(64, 16, 1024) == 16
+    assert _fit_batch_block(64, 128, 1024) == 16
+    assert _fit_batch_block(64, 24, 512) == 24  # no VMEM clamp below H=1024
+    assert _fit_batch_block(64, 7, 1024) == 7
+    assert _fit_batch_block(64, 1, 2048) == 1
+
+
+def test_odd_batch_runs_at_large_hidden():
+    """End-to-end: a non-multiple-of-16 batch at H>=1024 must compile and
+    match the scan reference (interpret mode; exercises the divisor fix)."""
+    B, T, E, H = 24, 8, 32, 1024
+    rng = np.random.default_rng(3)
+    params = init_gru_params(jax.random.PRNGKey(3), E, H)
+    x = jnp.asarray(rng.normal(0, 1, (B, T, E)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(0, 0.5, (B, H)).astype(np.float32))
+    hs_ref, hT_ref = gru_scan(x, h0, params)
+    hs, hT = gru_trainable(x, h0, params, 8, 64, True, None)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(hs_ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(hT), np.asarray(hT_ref), rtol=2e-4, atol=2e-4)
