@@ -193,7 +193,12 @@ class SentencePieceTokenizer:
     # -- encoding --
 
     def _normalize(self, s: str) -> str:
-        if self.add_dummy_prefix and not s.startswith(" "):
+        # sentencepiece prepends the dummy prefix UNCONDITIONALLY (spm
+        # normalizer.cc; HF LlamaConverter mirrors it as Prepend("▁")) —
+        # " hello" normalizes to "▁▁hello", not "▁hello" — but an EMPTY
+        # input stays empty (spm encodes "" to []).  Both caught by the
+        # HF-tokenizers cross-validation in tests/test_tokenizer_cross.py.
+        if self.add_dummy_prefix and s:
             s = " " + s
         return s.replace(" ", WHITESPACE_PIECE)
 
