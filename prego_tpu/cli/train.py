@@ -179,6 +179,7 @@ def main(argv: Optional[List[str]] = None) -> float:
         train_step = make_train_step(
             model, optimizer, flow_is_zero=train_store.flow_is_zero, bf16=cfg.amp,
             gru_backend=cfg.get("train_gru_backend", "scan"),
+            logger=logger,
         )
 
     n_params = sum(int(np.prod(np.shape(x))) for x in jax.tree.leaves(params))

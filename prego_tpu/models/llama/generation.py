@@ -20,6 +20,7 @@ token.
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -209,6 +210,7 @@ class Llama:
         config: LlamaConfig,
         pad_to_multiple: int = 64,
         kv_quant: bool = False,
+        prefix_cache_slots: int = 4,
     ):
         self.params = params
         self.tokenizer = tokenizer
@@ -216,8 +218,16 @@ class Llama:
         self.pad_to_multiple = pad_to_multiple
         self.kv_quant = kv_quant  # int8 KV cache (see model.init_cache)
         self._key = jax.random.PRNGKey(1)  # seed parity: generation.py:95
-        self._prefix_key: Optional[Tuple[int, ...]] = None
-        self._prefix_cache: Optional[Cache] = None
+        # LRU of B=1 prefix KV caches keyed by the token prefix (VERDICT r2
+        # #5: Assembly has few distinct toy contexts but many videos, so a
+        # single slot paid the ~65 ms rebuild on every toy switch; N slots
+        # + the driver's group-by-toy ordering drop rebuilds to ~#contexts).
+        # Each slot holds a full (layers, max_seq_len) B=1 KV tree —
+        # size slots accordingly for big models (7B bf16 ≈ 1 GB/slot).
+        self.prefix_cache_slots = max(1, int(prefix_cache_slots))
+        self._prefix_caches: "OrderedDict[Tuple[int, ...], Cache]" = OrderedDict()
+        self._prefix_key: Optional[Tuple[int, ...]] = None  # most recent
+        self.prefix_rebuilds = 0  # observability: cache-miss prefill count
 
     # -- low level --
 
@@ -314,27 +324,34 @@ class Llama:
     PREFIX_BUILD_CHUNK = 256
 
     def _ensure_prefix_cache(self, prefix: Tuple[int, ...]) -> Cache:
-        if self._prefix_key != prefix:
-            cache = init_cache(
-                self.config, 1, dtype=self.params["norm"].dtype,
-                quantized=self.kv_quant,
-            )
-            step = min(self.PREFIX_BUILD_CHUNK, self.config.max_seq_len)
-            buf = np.asarray(prefix, np.int32)
-            for i in range(0, len(prefix), step):
-                chunk = buf[i : i + step]
-                if len(chunk) < step:
-                    chunk = np.concatenate(
-                        [chunk, np.full(step - len(chunk),
-                                        self.tokenizer.pad_id, np.int32)]
-                    )
-                cache = _prefill_chunk(
-                    self.params, jnp.asarray(chunk[None, :]), jnp.int32(i),
-                    cache, config=self.config,
-                )
+        cached = self._prefix_caches.get(prefix)
+        if cached is not None:
+            self._prefix_caches.move_to_end(prefix)  # LRU touch
             self._prefix_key = prefix
-            self._prefix_cache = cache
-        return self._prefix_cache
+            return cached
+        cache = init_cache(
+            self.config, 1, dtype=self.params["norm"].dtype,
+            quantized=self.kv_quant,
+        )
+        step = min(self.PREFIX_BUILD_CHUNK, self.config.max_seq_len)
+        buf = np.asarray(prefix, np.int32)
+        for i in range(0, len(prefix), step):
+            chunk = buf[i : i + step]
+            if len(chunk) < step:
+                chunk = np.concatenate(
+                    [chunk, np.full(step - len(chunk),
+                                    self.tokenizer.pad_id, np.int32)]
+                )
+            cache = _prefill_chunk(
+                self.params, jnp.asarray(chunk[None, :]), jnp.int32(i),
+                cache, config=self.config,
+            )
+        self.prefix_rebuilds += 1
+        self._prefix_caches[prefix] = cache
+        while len(self._prefix_caches) > self.prefix_cache_slots:
+            self._prefix_caches.popitem(last=False)  # evict least-recent
+        self._prefix_key = prefix
+        return cache
 
     def generate_with_prefix_cache(
         self,

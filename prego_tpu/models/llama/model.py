@@ -78,6 +78,77 @@ def init_params(
     }
 
 
+def init_params_quantized(
+    config: LlamaConfig, key: jax.Array, fused: bool = True, dtype=jnp.bfloat16
+) -> Params:
+    """Fabricated weight-only-int8 params built DIRECTLY as int8 + scales.
+
+    7B bf16 (13.5 GB) cannot be materialized then quantized on a 16 GB
+    v5e — quantize_params(init_params(...)) would need both copies live.
+    This constructor emits each projection as {"q": int8, "s": f32 (1,N)}
+    straight from the RNG (values uniform in [-127, 127], scales set so
+    the effective weights match init_params' 1/sqrt(d_in) magnitude), so
+    peak memory is the int8 footprint (~6.7 GB at 7B).  For benchmarking
+    and capacity planning only; real weights come from the checkpoint
+    converter + quantize_params.  Layout matches
+    fuse_projections(quantize_params(...)) when fused=True (the
+    single-chip serving layout)."""
+    D, V, F = config.dim, config.vocab_size, config.ffn_hidden
+    H, KV, hd = config.n_heads, config.kv_heads, config.head_dim
+    n = config.n_layers
+    keys = iter(jax.random.split(key, 4 + 7 * n))
+
+    def qdense(k, d_in, d_out):
+        q = jax.random.randint(k, (d_in, d_out), -127, 128, jnp.int8)
+        # int8 uniform has rms ~73.3; scale so q*s has rms 1/sqrt(d_in)
+        s = jnp.full((1, d_out), 1.0 / (73.3 * jnp.sqrt(float(d_in))), jnp.float32)
+        return {"q": q, "s": s}
+
+    def dense(k, d_in, d_out):
+        scale = 1.0 / jnp.sqrt(jnp.asarray(d_in, jnp.float32))
+        return (jax.random.normal(k, (d_in, d_out), jnp.float32) * scale).astype(dtype)
+
+    layers = []
+    for _ in range(n):
+        if fused:
+            attention = {
+                "wqkv": qdense(next(keys), D, (H + 2 * KV) * hd),
+                "wo": qdense(next(keys), H * hd, D),
+            }
+            ff = {
+                "w13": qdense(next(keys), D, 2 * F),
+                "w2": qdense(next(keys), F, D),
+            }
+            for _ in range(3):  # keep the key schedule aligned with init_params
+                next(keys)
+        else:
+            attention = {
+                "wq": qdense(next(keys), D, H * hd),
+                "wk": qdense(next(keys), D, KV * hd),
+                "wv": qdense(next(keys), D, KV * hd),
+                "wo": qdense(next(keys), H * hd, D),
+            }
+            ff = {
+                "w1": qdense(next(keys), D, F),
+                "w2": qdense(next(keys), F, D),
+                "w3": qdense(next(keys), D, F),
+            }
+        layers.append(
+            {
+                "attention": attention,
+                "feed_forward": ff,
+                "attention_norm": jnp.ones((D,), dtype),
+                "ffn_norm": jnp.ones((D,), dtype),
+            }
+        )
+    return {
+        "tok_embeddings": dense(next(keys), V, D),
+        "layers": layers,
+        "norm": jnp.ones((D,), dtype),
+        "output": qdense(next(keys), D, V),
+    }
+
+
 def init_cache(
     config: LlamaConfig, batch: int, dtype=jnp.bfloat16, quantized: bool = False
 ) -> Cache:

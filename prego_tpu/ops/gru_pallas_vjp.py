@@ -138,6 +138,14 @@ def gru_bwd_pallas(
     kernel = functools.partial(
         _gru_bwd_kernel, time_block=time_block, hidden_dim=H
     )
+    # dxg aliases xg and r aliases dhs (same shapes, same block maps; each
+    # frame index is read strictly before it is overwritten inside the
+    # step).  This halves the double-buffered block footprint: without the
+    # aliases the in+out blocks at (tb=8, bb=16, H=1024) plus the resident
+    # 6 MB W_hh overflow the 16 MB VMEM budget and the remote compile
+    # helper dies with an opaque "subprocess exit code 1" (the r2 B>=64
+    # mystery — see scripts/repro_pallas_train_b64.py).  CALLER CONTRACT:
+    # xg_tm and dhs_tm are consumed (donated) by this call.
     dxg, r, dh0 = pl.pallas_call(
         kernel,
         grid=(n_b, n_t),
@@ -158,6 +166,7 @@ def gru_bwd_pallas(
             jax.ShapeDtypeStruct((T, B, H), xg_tm.dtype),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
+        input_output_aliases={0: 0, 2: 1},  # xg->dxg, dhs->r
         scratch_shapes=[
             pltpu.VMEM((batch_block, H), jnp.float32),
             pltpu.VMEM((H, threeH), w_hh.dtype),
@@ -185,15 +194,21 @@ def gru_trainable(
     return hs, hT
 
 
-def _fit_batch_block(batch_block: int, batch: int, hidden_dim: int) -> int:
+def _fit_batch_block(
+    batch_block: int, batch: int, hidden_dim: int, time_block: int = 0
+) -> int:
     """Clamp the per-grid batch block so the train kernels fit scoped
-    VMEM with the (H, 3H) W_hh resident. At H >= 1024 the production
-    shape sits at the 16 MB edge: blocks beyond 16 rows fail Mosaic
-    compilation for BOTH f32 (12.6 MB weights) and bf16 (6.3 MB weights
-    + double-buffered fwd/bwd block sets) — the remote compile helper
-    reports only 'subprocess exit code 1'. 16 is the empirically proven
-    size on v5e; throughput is insensitive because the recurrence is
-    bandwidth-bound on W_hh, which stays resident either way.
+    VMEM with the (H, 3H) W_hh resident.  At H >= 1024 the production
+    shape sits at the 16 MB edge; past it the remote compile helper dies
+    with an opaque 'subprocess exit code 1' instead of a Mosaic OOM
+    diagnostic (repro: scripts/repro_pallas_train_b64.py).  Empirical
+    envelope on v5e (r3 bisect): the FORWARD kernel is fine at 16-row
+    blocks at any grid size, but the BACKWARD kernel carries ~2.3x the
+    block bytes (5 live (tb,bb,*) windows, double-buffered, beside the
+    6 MB resident W_hh) and needs time_block*batch_block <= 64 — pass
+    ``time_block`` to apply that stricter product cap.  Throughput is
+    insensitive because the recurrence is bandwidth-bound on W_hh, which
+    stays resident either way.
 
     The returned block always divides `batch` (the kernels require
     B % batch_block == 0): we take the largest divisor of B that fits
@@ -202,6 +217,8 @@ def _fit_batch_block(batch_block: int, batch: int, hidden_dim: int) -> int:
     cap = min(batch_block, batch)
     if hidden_dim >= 1024:
         cap = min(cap, 16)
+        if time_block:
+            cap = min(cap, max(1, 64 // time_block))
     while cap > 1 and batch % cap != 0:
         cap -= 1
     return max(cap, 1)
@@ -251,7 +268,7 @@ def _gru_bwd(time_block, batch_block, interpret, stream_dtype, residuals, grads)
     dxg_tm, r_tm, dh0 = gru_bwd_pallas(
         xg_tm, hprev_tm, dhs_tm, params["w_hh"].astype(stream), params["b_hh"],
         time_block=time_block,
-        batch_block=_fit_batch_block(min(batch_block, 32), B, H),
+        batch_block=_fit_batch_block(min(batch_block, 32), B, H, time_block),
         interpret=interpret,
     )
 

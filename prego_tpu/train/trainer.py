@@ -47,49 +47,99 @@ def make_train_step(
     bf16: bool = False,
     mesh: Optional[Mesh] = None,
     gru_backend: str = "scan",
+    logger=None,
 ):
     """Build the jitted train step.
 
     Signature: (params, opt_state, rgb, flow, target_last, valid, rng)
              -> (params, opt_state, loss)
     gru_backend='pallas_train' uses the fused custom-VJP recurrence
-    (ops/gru_pallas_vjp.py).
+    (ops/gru_pallas_vjp.py); that path is FENCED — if the kernel fails to
+    compile (this image's remote compile helper dies with "subprocess
+    exit code 1" at B>=64 / H=1024, see scripts/repro_pallas_train_b64.py)
+    the step transparently rebuilds on the lax.scan backend with a logged
+    warning instead of crashing mid-training.
     """
 
-    def loss_fn(params, rgb, flow, target_last, valid, rng):
-        if bf16:
-            rgb = rgb.astype(jnp.bfloat16)
-            flow = flow.astype(jnp.bfloat16)
-        logits = model.forward_train(
-            params, rgb, flow, rng, flow_is_zero=flow_is_zero, backend=gru_backend
+    def build(backend: str):
+        def loss_fn(params, rgb, flow, target_last, valid, rng):
+            if bf16:
+                rgb = rgb.astype(jnp.bfloat16)
+                flow = flow.astype(jnp.bfloat16)
+            logits = model.forward_train(
+                params, rgb, flow, rng, flow_is_zero=flow_is_zero, backend=backend
+            )
+            return last_frame_mlce(logits.astype(jnp.float32), target_last, valid)
+
+        def step(params, opt_state, rgb, flow, target_last, valid, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, rgb, flow, target_last, valid, rng
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        if mesh is None:
+            return jax.jit(step, donate_argnums=(0, 1))
+
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        replicated = NamedSharding(mesh, P())
+        return jax.jit(
+            step,
+            donate_argnums=(0, 1),
+            in_shardings=(
+                replicated,  # params
+                replicated,  # opt_state
+                batch_sharding,  # rgb
+                batch_sharding,  # flow
+                batch_sharding,  # target_last
+                batch_sharding,  # valid
+                replicated,  # rng
+            ),
+            out_shardings=(replicated, replicated, replicated),
         )
-        return last_frame_mlce(logits.astype(jnp.float32), target_last, valid)
 
-    def step(params, opt_state, rgb, flow, target_last, valid, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, rgb, flow, target_last, valid, rng)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    if gru_backend != "pallas_train":
+        return build(gru_backend)
+    return _fence_compile_failure(build, "pallas_train", logger)
 
-    if mesh is None:
-        return jax.jit(step, donate_argnums=(0, 1))
 
-    batch_sharding = NamedSharding(mesh, P("dp"))
-    replicated = NamedSharding(mesh, P())
-    return jax.jit(
-        step,
-        donate_argnums=(0, 1),
-        in_shardings=(
-            replicated,  # params
-            replicated,  # opt_state
-            batch_sharding,  # rgb
-            batch_sharding,  # flow
-            batch_sharding,  # target_last
-            batch_sharding,  # valid
-            replicated,  # rng
-        ),
-        out_shardings=(replicated, replicated, replicated),
-    )
+def _fence_compile_failure(build, backend: str, logger):
+    """Wrap a jitted step so a *compile-time* failure of the custom-kernel
+    backend falls back to the scan backend once, loudly, instead of
+    killing the run.  Execution happens only after a successful compile,
+    and donation consumes buffers only on execution, so the retry sees
+    the original params/opt_state intact."""
+    state = {"fn": build(backend), "fell_back": False}
+
+    def fenced_step(*args):
+        if state["fell_back"]:
+            return state["fn"](*args)
+        try:
+            return state["fn"](*args)
+        except Exception as e:  # noqa: BLE001 — filtered below
+            name = type(e).__name__
+            msg = str(e)
+            is_compile_failure = "XlaRuntimeError" in name or any(
+                s in msg for s in ("compile", "Compile", "Mosaic", "INTERNAL")
+            )
+            if not is_compile_failure:
+                raise
+            warning = (
+                f"gru_backend={backend!r} failed to compile for shapes "
+                f"{[getattr(a, 'shape', None) for a in args[2:6]]}: {name}: "
+                f"{msg.splitlines()[0][:200]} — falling back to the 'scan' "
+                "backend (see scripts/repro_pallas_train_b64.py)"
+            )
+            if logger is not None:
+                logger.warning(warning)
+            else:  # pragma: no cover - logging always wired in the CLI
+                print(f"WARNING: {warning}")
+            state["fn"] = build("scan")
+            state["fell_back"] = True
+            return state["fn"](*args)
+
+    return fenced_step
 
 
 def make_ant_train_step(

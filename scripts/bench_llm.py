@@ -205,6 +205,92 @@ def bench_anticipation_step(tiny: bool, step_batch: int = 1,
     }
 
 
+def _llama_7b(kv_quant: bool, max_batch: int, max_seq: int):
+    """The reference's PRIMARY serving shape (llama/model.py:20-31 defaults
+    + Llama.build 7B checkpoints, generation.py:101-120): dim 4096, 32
+    layers, 32 heads, **vocab 32000** — so the 4096x32000 lm-head read is
+    part of every measured step.  bf16 7B is 13.5 GB and cannot fit a
+    16 GB v5e beside its KV cache; weight-only int8 (~6.7 GB) can, built
+    directly as int8 via init_params_quantized (fabricated weights)."""
+    import jax
+    from prego_tpu.models.llama import ByteTokenizer, Llama, LlamaConfig
+    from prego_tpu.models.llama.model import init_params_quantized
+
+    cfg = LlamaConfig(
+        dim=4096, n_layers=32, n_heads=32, n_kv_heads=32, vocab_size=32000,
+        multiple_of=256, norm_eps=1e-5, max_batch_size=max_batch,
+        max_seq_len=max_seq,
+    )
+    params = init_params_quantized(cfg, jax.random.PRNGKey(0), fused=True)
+    # ByteTokenizer only supplies pad/eos sentinels here; prompts are raw
+    # ids in [4, 31999] so nothing ever hits the 258-word byte vocab
+    return Llama(params, ByteTokenizer(), cfg, kv_quant=kv_quant), cfg
+
+
+# v5e HBM bandwidth, for the weight-streaming decode floor
+_V5E_HBM_GBS = 819.0
+
+
+def bench_decode_7b(batch: int, tiny: bool, kv_quant: bool = False,
+                    gen_len: int = 128):
+    if tiny:  # the 7B case is a real-chip measurement; CPU smoke skips it
+        return {"case": f"decode_7b_b{batch}_int8", "skipped": "tiny"}
+    llama, cfg = _llama_7b(kv_quant, max_batch=batch, max_seq=256)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(4, 31999, 8).tolist() for _ in range(batch)]
+    llama.generate(prompts, max_gen_len=gen_len, temperature=0.0)  # compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        llama.generate(prompts, max_gen_len=gen_len, temperature=0.0)
+    dt = (time.perf_counter() - t0) / reps
+    ms_per_step = dt / gen_len * 1e3
+    # weights actually streamed per step (int8 dense bytes, no embeddings)
+    stream_gb = (4096 * 32000 + 32 * (4096 * 12288 + 4096 * 4096
+                 + 4096 * 22016 + 11008 * 4096)) / 1e9
+    floor_ms = stream_gb / _V5E_HBM_GBS * 1e3
+    return {
+        "case": f"decode_7b_b{batch}_int8" + ("_kv8" if kv_quant else ""),
+        "value": round(ms_per_step, 2),
+        "unit": "ms/step",
+        "tok_per_s": round(batch * gen_len / dt, 1),
+        "weight_stream_floor_ms": round(floor_ms, 2),
+        "pct_of_floor": round(100 * floor_ms / ms_per_step, 1),
+    }
+
+
+def bench_anticipation_step_7b(tiny: bool, kv_quant: bool = True):
+    """The PREGO anticipation step AT THE REFERENCE SHAPE: 4 sampled
+    generations (num_samples=2 squared) sharing a ~1.5k-token context,
+    7B int8, real 32k lm-head, KV prefix cache."""
+    if tiny:
+        return {"case": "anticipation_step_7b_int8", "skipped": "tiny"}
+    llama, cfg = _llama_7b(kv_quant, max_batch=4, max_seq=2048)
+    rng = np.random.default_rng(0)
+    context = rng.integers(4, 31999, 1500).tolist()
+    gen_len = 8
+
+    def step(observed):
+        prompts = [context + observed] * 4
+        return llama.generate_with_prefix_cache(
+            prompts, max_gen_len=gen_len, temperature=0.6, top_p=0.9
+        )
+
+    step([7, 8, 9])  # compile + build the prefix cache once (per-video)
+    t0 = time.perf_counter()
+    reps = 5
+    for i in range(reps):
+        step([7, 8, 9] + rng.integers(4, 31999, i % 5).tolist())
+    dt = (time.perf_counter() - t0) / reps
+    return {
+        "case": "anticipation_step_7b_int8" + ("_kv8" if kv_quant else ""),
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step (4 gens, shared ctx)",
+        "ctx_len": 1500,
+        "prefix_rebuilds": llama.prefix_rebuilds,
+    }
+
+
 CASES = {
     "decode_b1": lambda tiny: bench_decode(1, tiny),
     "decode_b8": lambda tiny: bench_decode(8, tiny),
@@ -222,6 +308,10 @@ CASES = {
         tiny, quantize="int8x8"),
     "anticipation_step_kv8": lambda tiny: bench_anticipation_step(
         tiny, kv_quant=True),
+    "decode_7b_int8": lambda tiny: bench_decode_7b(1, tiny),
+    "decode_7b_b8_int8": lambda tiny: bench_decode_7b(8, tiny),
+    "decode_7b_b8_int8_kv8": lambda tiny: bench_decode_7b(8, tiny, kv_quant=True),
+    "anticipation_step_7b_int8_kv8": lambda tiny: bench_anticipation_step_7b(tiny),
 }
 
 

@@ -89,3 +89,72 @@ def test_prefix_cache_with_fused_and_quantized_params():
         cached = llama.generate_with_prefix_cache(prompts, max_gen_len=4, temperature=0.0)
         assert cached == plain
         assert llama._prefix_key is not None
+
+
+def test_prefix_lru_hits_on_context_return():
+    """VERDICT r2 #5: returning to a previously-seen context must HIT the
+    LRU (no rebuild) and still decode identically to plain generate."""
+    llama = _llama(17)
+    p1 = list(range(20, 100))
+    p2 = list(range(120, 200))
+    llama.generate_with_prefix_cache([p1 + [3]], max_gen_len=3, temperature=0.0)
+    llama.generate_with_prefix_cache([p2 + [3]], max_gen_len=3, temperature=0.0)
+    assert llama.prefix_rebuilds == 2
+    # back to context 1: LRU hit, no third rebuild
+    c1b = llama.generate_with_prefix_cache([p1 + [9]], max_gen_len=3, temperature=0.0)
+    assert llama.prefix_rebuilds == 2
+    plain = llama.generate([p1 + [9]], max_gen_len=3, temperature=0.0)[0]
+    assert c1b == plain
+
+
+def test_prefix_lru_eviction_beyond_slots():
+    """More distinct contexts than slots: least-recent is evicted and a
+    return to it rebuilds (still correct)."""
+    llama = _llama(19)
+    llama.prefix_cache_slots = 2
+    ps = [list(range(s, s + 80)) for s in (10, 100, 150)]
+    for p in ps:
+        llama.generate_with_prefix_cache([p + [3]], max_gen_len=2, temperature=0.0)
+    assert llama.prefix_rebuilds == 3
+    assert len(llama._prefix_caches) == 2
+    # ps[0] was evicted -> rebuild; ps[2] still cached -> hit
+    llama.generate_with_prefix_cache([ps[2] + [4]], max_gen_len=2, temperature=0.0)
+    assert llama.prefix_rebuilds == 3
+    out = llama.generate_with_prefix_cache([ps[0] + [4]], max_gen_len=2, temperature=0.0)
+    assert llama.prefix_rebuilds == 4
+    plain = llama.generate([ps[0] + [4]], max_gen_len=2, temperature=0.0)[0]
+    assert out == plain
+
+
+def test_driver_groups_videos_by_toy():
+    """run_anticipation sorts assembly videos so same-toy (= same context)
+    videos are adjacent — the free ordering that makes the prefix LRU hit
+    across a full run (llama_meta.py:299 iterates dict order instead)."""
+    from prego_tpu.anticipation.driver import get_toy, run_anticipation
+    from prego_tpu.anticipation.llm import FakeLLM
+
+    seqs = {
+        f"vid_x-y-{toy}_{i}": {"pred": [1, 2, 3], "gt": [1, 2, 3]}
+        for i, toy in enumerate(["a21", "b05", "a21", "c11", "b05"])
+    }
+    order = []
+
+    class SpyLLM(FakeLLM):
+        pass
+
+    llm = SpyLLM()
+    contexts = {t: {"num": f"ctx-{t}"} for t in ("a21", "b05", "c11")}
+    result = run_anticipation(
+        seqs, llm, dataset="assembly", contexts=contexts,
+        eval_metrics=False, num_samples=1,
+    )
+    # all five videos processed, grouped: toys of processed keys are sorted
+    toys = [get_toy(k) for k in result.preds]
+    assert len(result.preds) == 5
+    assert toys == sorted(toys)
+    # opt-out restores dict order
+    result2 = run_anticipation(
+        seqs, llm, dataset="assembly", contexts=contexts,
+        eval_metrics=False, num_samples=1, group_by_toy=False,
+    )
+    assert list(result2.preds) == list(seqs)
