@@ -32,6 +32,23 @@ def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _pick_n_block(N: int, want: int) -> int:
+    """Largest divisor of N that is <= want, preferring lane-aligned
+    (multiple-of-128) tiles.  The old rule 'if N % want: use N' made any
+    non-multiple N a SINGLE tile — catastrophic at the LLaMA 32000-wide
+    lm-head (32000 % 512 != 0 -> a (M, 32000) f32 VMEM block, 126 MB at
+    prefill, found as a scoped-vmem OOM in the 7B bench)."""
+    if N % want == 0:
+        return want
+    for d in range(min(want, N), 0, -1):
+        if N % d == 0 and d % 128 == 0:
+            return d
+    for d in range(min(want, N), 0, -1):
+        if N % d == 0:
+            return d
+    return N
+
+
 def _int8_matmul_kernel(x_ref, q_ref, s_ref, out_ref):
     w = q_ref[:].astype(jnp.bfloat16)  # dequant int8 tile in VMEM
     y = jnp.dot(x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
@@ -51,8 +68,7 @@ def int8_matmul(
     up to a block multiple and sliced back."""
     M, K = x.shape
     N = q.shape[1]
-    if N % n_block != 0:
-        n_block = N  # small heads: single tile
+    n_block = _pick_n_block(N, n_block)
     M_pad = M
     if M > m_block:
         M_pad = ((M + m_block - 1) // m_block) * m_block
@@ -124,8 +140,7 @@ def int8xint8_matmul(
     accumulation. Same tiling scheme as int8_matmul."""
     M, K = xq.shape
     N = q.shape[1]
-    if N % n_block != 0:
-        n_block = N
+    n_block = _pick_n_block(N, n_block)
     M_pad = M
     if M > m_block:
         M_pad = ((M + m_block - 1) // m_block) * m_block

@@ -1,0 +1,146 @@
+"""Structural profile of the B=8 bf16 decode step (VERDICT r2 #4).
+
+jax.profiler device traces are unavailable over the tunneled axon
+platform, so this attributes the per-step cost BY CONSTRUCTION: each
+variant is a jitted 16-layer loop body with one op class removed (or
+isolated), timed with the scalar-checksum sync.  The difference between
+the full step and the sum of its parts is the inter-op scheduling
+residue the mega-kernel would have to reclaim.
+
+Variants (all iterate the same 16-layer x gen_len structure):
+  full          — the real decode step (matmuls + attention + pointwise)
+  matmuls_only  — just the 4 weight matmuls per layer (the HBM floor in
+                  executable form: every weight byte still streams)
+  no_attention  — full minus the flash-decode kernel (cache update kept)
+  attention_only— flash kernel + cache update alone
+
+Run: python scripts/profile_decode.py [--gen 128] [--batch 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build(cfg, params, rope, mode: str):
+    from prego_tpu.models.llama.model import (
+        _attention, _dense, _feed_forward, init_cache, rms_norm,
+    )
+
+    def step_layer(layer, h, cache_k, cache_v, pos, cos, sin):
+        if mode == "matmuls_only":
+            # same four weight reads, no attention/norm/rope
+            a, f = layer["attention"], layer["feed_forward"]
+            x = _dense(h, a["wqkv"]).astype(h.dtype)[..., : h.shape[-1]]
+            x = _dense(x, a["wo"]).astype(h.dtype)
+            g = _dense(x, f["w13"]).astype(h.dtype)
+            F = g.shape[-1] // 2
+            x = _dense(g[..., :F], f["w2"]).astype(h.dtype)
+            return x, cache_k, cache_v
+        if mode == "attention_only":
+            attn, ck, cv = _attention(
+                layer["attention"], h, pos, cos, sin, cache_k, cache_v, cfg
+            )
+            return attn, ck, cv
+        if mode == "no_attention":
+            a = layer["attention"]
+            x = rms_norm(h, layer["attention_norm"], cfg.norm_eps)
+            x = _dense(x, a["wqkv"]).astype(h.dtype)[..., : h.shape[-1]]
+            x = _dense(x, a["wo"]).astype(h.dtype)
+            h = h + x
+            h = h + _feed_forward(
+                layer["feed_forward"], rms_norm(h, layer["ffn_norm"], cfg.norm_eps)
+            )
+            return h, cache_k, cache_v
+        # full
+        attn, ck, cv = _attention(
+            layer["attention"],
+            rms_norm(h, layer["attention_norm"], cfg.norm_eps),
+            pos, cos, sin, cache_k, cache_v, cfg,
+        )
+        h = h + attn
+        h = h + _feed_forward(
+            layer["feed_forward"], rms_norm(h, layer["ffn_norm"], cfg.norm_eps)
+        )
+        return h, ck, cv
+
+    def run(tokens, gen_len):
+        B = tokens.shape[0]
+        cache = init_cache(cfg, B, dtype=params["norm"].dtype)
+        cos_full, sin_full = rope
+
+        def body(i, carry):
+            tok, cache = carry
+            h = jnp.take(params["tok_embeddings"], tok, axis=0)[:, None, :]
+            cos = jax.lax.dynamic_slice_in_dim(cos_full, i, 1, axis=0)
+            sin = jax.lax.dynamic_slice_in_dim(sin_full, i, 1, axis=0)
+            new_k, new_v = list(cache["k"]), list(cache["v"])
+            for li, layer in enumerate(params["layers"]):
+                h, new_k[li], new_v[li] = step_layer(
+                    layer, h, new_k[li], new_v[li], i, cos, sin
+                )
+            h = rms_norm(h, params["norm"], cfg.norm_eps)
+            logits = _dense(h, params["output"])
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            return (nxt, {"k": new_k, "v": new_v})
+
+        tok, cache = jax.lax.fori_loop(0, gen_len, body, (tokens, cache))
+        return tok
+
+    return jax.jit(run, static_argnums=(1,))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gen", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    from prego_tpu.models.llama import ByteTokenizer, LlamaConfig, init_params
+    from prego_tpu.models.llama.model import fuse_projections, precompute_rope
+
+    tok = ByteTokenizer()
+    cfg = LlamaConfig(
+        dim=2048, n_layers=16, n_heads=16, n_kv_heads=16, vocab_size=tok.n_words,
+        multiple_of=256, norm_eps=1e-5, max_batch_size=args.batch, max_seq_len=512,
+    )
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = fuse_projections(init_params(cfg, jax.random.PRNGKey(0), dtype=dtype))
+    rope = precompute_rope(cfg)
+    tokens = jnp.asarray(np.arange(args.batch) % 200 + 4, jnp.int32)
+
+    sync = jax.jit(lambda t: jnp.sum(t))
+    results = {}
+    for mode in ("full", "matmuls_only", "no_attention", "attention_only"):
+        fn = build(cfg, params, rope, mode)
+        out = fn(tokens, args.gen)
+        float(sync(out))
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = fn(tokens, args.gen)
+        float(sync(out))
+        dt = (time.perf_counter() - t0) / args.reps
+        ms = dt / args.gen * 1e3
+        results[mode] = ms
+        print(f"[{mode:14s}] {ms:6.3f} ms/step")
+
+    full, mm, noat, at = (
+        results["full"], results["matmuls_only"],
+        results["no_attention"], results["attention_only"],
+    )
+    print(f"[residue       ] full - (no_attention + attention_only - matmul_overlap)")
+    print(f"  attention marginal (full - no_attention): {full - noat:.3f} ms")
+    print(f"  pointwise+sched   (no_attention - matmuls_only): {noat - mm:.3f} ms")
+    print(f"  matmul (HBM) core : {mm:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -106,3 +106,22 @@ def test_fused_projections_equal_unfused(rng):
     q, _ = forward(fq, jnp.asarray(tokens), jnp.int32(0), c3, cfg)
     agree = np.mean(np.argmax(np.asarray(a), -1) == np.argmax(np.asarray(q), -1))
     assert agree >= 0.7
+
+
+def test_lm_head_width_tiles():
+    """32000-vocab lm-head: N % 512 != 0 must NOT fall back to a single
+    (M, 32000) tile (scoped-VMEM OOM found by the 7B bench); the picker
+    chooses a lane-aligned divisor and results stay exact."""
+    import numpy as np
+    from prego_tpu.ops.quant import (
+        _pick_n_block, int8_matmul, int8_matmul_reference, quantize_weight,
+    )
+
+    assert _pick_n_block(32000, 512) == 256
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (4, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (64, 1000)).astype(np.float32))
+    q, s = quantize_weight(w)  # N=1000: divisor 250 (no 128-multiple <= 512)
+    got = int8_matmul(x, q, s, interpret=True)
+    want = int8_matmul_reference(x, q, s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
