@@ -177,10 +177,7 @@ def _generate_from_prefix_jit(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config",), donate_argnames=("cache",)
-)
-def _prefill_chunk(
+def _prefill_chunk_body(
     params: Params,
     tokens: jax.Array,  # (1, CHUNK)
     start: jax.Array,
@@ -189,6 +186,19 @@ def _prefill_chunk(
 ) -> Cache:
     _, cache = forward(params, tokens, start, cache, config)
     return cache
+
+
+_prefill_chunk = functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnames=("cache",)
+)(_prefill_chunk_body)
+
+# Non-donating variant for the FIRST chunk of a prefix EXTENSION: the
+# input there is a stored LRU entry that must stay valid (donation would
+# mark its buffers deleted).  Subsequent chunks consume intermediates and
+# use the donating jit.
+_prefill_chunk_keep = functools.partial(
+    jax.jit, static_argnames=("config",)
+)(_prefill_chunk_body)
 
 
 class Llama:
@@ -227,7 +237,8 @@ class Llama:
         self.prefix_cache_slots = max(1, int(prefix_cache_slots))
         self._prefix_caches: "OrderedDict[Tuple[int, ...], Cache]" = OrderedDict()
         self._prefix_key: Optional[Tuple[int, ...]] = None  # most recent
-        self.prefix_rebuilds = 0  # observability: cache-miss prefill count
+        self.prefix_rebuilds = 0  # observability: from-scratch prefill count
+        self.prefix_extends = 0  # observability: delta-prefill count
 
     # -- low level --
 
@@ -329,24 +340,46 @@ class Llama:
             self._prefix_caches.move_to_end(prefix)  # LRU touch
             self._prefix_key = prefix
             return cached
-        cache = init_cache(
-            self.config, 1, dtype=self.params["norm"].dtype,
-            quantized=self.kv_quant,
-        )
+        # A growing history crosses PREFIX_CHUNK buckets within a video, so
+        # the requested prefix is often a strict EXTENSION of a cached one:
+        # prefill only the delta from the longest cached proper prefix.
+        # (Safe: chunk prefill overwrites the base's padded-tail garbage
+        # before any query position can attend it — causal mask is on
+        # absolute positions; the base entry itself stays valid because
+        # cache updates are functional.)
+        base_key = None
+        for k in self._prefix_caches:
+            if len(k) < len(prefix) and prefix[: len(k)] == k:
+                if base_key is None or len(k) > len(base_key):
+                    base_key = k
+        if base_key is not None:
+            cache = self._prefix_caches[base_key]
+            start = len(base_key)
+            self.prefix_extends += 1
+        else:
+            cache = init_cache(
+                self.config, 1, dtype=self.params["norm"].dtype,
+                quantized=self.kv_quant,
+            )
+            start = 0
+            self.prefix_rebuilds += 1
         step = min(self.PREFIX_BUILD_CHUNK, self.config.max_seq_len)
         buf = np.asarray(prefix, np.int32)
-        for i in range(0, len(prefix), step):
+        first = True
+        for i in range(start, len(prefix), step):
             chunk = buf[i : i + step]
             if len(chunk) < step:
                 chunk = np.concatenate(
                     [chunk, np.full(step - len(chunk),
                                     self.tokenizer.pad_id, np.int32)]
                 )
-            cache = _prefill_chunk(
+            # never donate a stored LRU entry (the extend base)
+            prefill = _prefill_chunk_keep if (first and base_key is not None) else _prefill_chunk
+            first = False
+            cache = prefill(
                 self.params, jnp.asarray(chunk[None, :]), jnp.int32(i),
                 cache, config=self.config,
             )
-        self.prefix_rebuilds += 1
         self._prefix_caches[prefix] = cache
         while len(self._prefix_caches) > self.prefix_cache_slots:
             self._prefix_caches.popitem(last=False)  # evict least-recent

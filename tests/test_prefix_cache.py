@@ -158,3 +158,72 @@ def test_driver_groups_videos_by_toy():
         eval_metrics=False, num_samples=1, group_by_toy=False,
     )
     assert list(result2.preds) == list(seqs)
+
+
+def test_prefix_extend_across_bucket_boundary():
+    """When the history grows past a PREFIX_CHUNK bucket, the new (longer)
+    prefix must be built by EXTENDING the cached one (delta prefill only,
+    prefix_extends++, no rebuild), the base entry must stay usable, and
+    outputs must equal plain decode."""
+    from dataclasses import replace
+
+    tok = ByteTokenizer()
+    cfg = replace(tiny_test_config(vocab_size=tok.n_words), max_seq_len=384)
+    params = init_params(cfg, jax.random.PRNGKey(23), dtype=jnp.float32)
+    llama = Llama(params, tok, cfg)
+    ctx = list(range(10, 90))  # 80 tokens -> first key is ctx[:64]
+    # short history: key = 64-token bucket
+    p1 = [ctx + [5, 6]]
+    c1 = llama.generate_with_prefix_cache(p1, max_gen_len=3, temperature=0.0)
+    assert (llama.prefix_rebuilds, llama.prefix_extends) == (1, 0)
+    # history pushes shared prefix past 128: extension, not rebuild
+    hist = list(range(100, 160))  # 60 more tokens -> len 142 -> eff 128
+    p2 = [ctx + hist + [7]]
+    c2 = llama.generate_with_prefix_cache(p2, max_gen_len=3, temperature=0.0)
+    assert (llama.prefix_rebuilds, llama.prefix_extends) == (1, 1)
+    assert c2 == llama.generate(p2, max_gen_len=3, temperature=0.0)[0]
+    # the base entry survived the extension (donation hazard): going back
+    # to the short key is a pure hit and still decodes correctly
+    c1b = llama.generate_with_prefix_cache(p1, max_gen_len=3, temperature=0.0)
+    assert (llama.prefix_rebuilds, llama.prefix_extends) == (1, 1)
+    assert c1b == c1 == llama.generate(p1, max_gen_len=3, temperature=0.0)[0]
+
+
+def test_full_run_rebuilds_match_context_count():
+    """VERDICT r2 #5 done-condition, hermetically: a multi-toy, multi-video
+    anticipation run through the REAL driver with the prefix-cached LLaMA
+    backend rebuilds the prefix ~once per distinct context, not per video
+    (toy-grouped order + LRU + extension)."""
+    from dataclasses import replace
+
+    from prego_tpu.anticipation.driver import run_anticipation
+
+    tok = ByteTokenizer()
+    cfg = replace(tiny_test_config(vocab_size=tok.n_words), max_seq_len=512)
+    params = init_params(cfg, jax.random.PRNGKey(29), dtype=jnp.float32)
+    llama = Llama(params, tok, cfg)
+
+    class PrefixCachedAdapter:
+        def text_completion(self, prompts, max_gen_len=None, temperature=0.6, top_p=0.9):
+            return llama.text_completion(
+                prompts, temperature=temperature, top_p=top_p,
+                max_gen_len=max_gen_len, use_prefix_cache=True,
+            )
+
+    toys = ["a21", "b05", "c11"]
+    # 2 videos per toy, interleaved in dict order to defeat naive iteration
+    seqs = {
+        f"v-x-{toy}_{i}": {"pred": [1, 2, 3], "gt": [1, 2, 3]}
+        for i in range(2)
+        for toy in toys
+    }
+    contexts = {t: {"num": f"context for toy {t} " * 8} for t in toys}  # ~150 chars
+    run_anticipation(
+        seqs, PrefixCachedAdapter(), dataset="assembly", contexts=contexts,
+        eval_metrics=False, num_samples=1, max_gen_len=2,
+    )
+    # 6 videos, 3 contexts: from-scratch builds happen once per context;
+    # within-context growth uses extension or hits
+    assert llama.prefix_rebuilds == len(toys), (
+        llama.prefix_rebuilds, llama.prefix_extends
+    )
