@@ -79,7 +79,8 @@ def init_params(
 
 
 def init_params_quantized(
-    config: LlamaConfig, key: jax.Array, fused: bool = True, dtype=jnp.bfloat16
+    config: LlamaConfig, key: jax.Array, fused: bool = True,
+    dtype=jnp.bfloat16, activations: bool = False,
 ) -> Params:
     """Fabricated weight-only-int8 params built DIRECTLY as int8 + scales.
 
@@ -102,7 +103,10 @@ def init_params_quantized(
         q = jax.random.randint(k, (d_in, d_out), -127, 128, jnp.int8)
         # int8 uniform has rms ~73.3; scale so q*s has rms 1/sqrt(d_in)
         s = jnp.full((1, d_out), 1.0 / (73.3 * jnp.sqrt(float(d_in))), jnp.float32)
-        return {"q": q, "s": s}
+        out = {"q": q, "s": s}
+        if activations:  # int8 x int8 MXU path (see quantize_params)
+            out["act"] = ()
+        return out
 
     def dense(k, d_in, d_out):
         scale = 1.0 / jnp.sqrt(jnp.asarray(d_in, jnp.float32))

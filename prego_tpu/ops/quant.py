@@ -49,9 +49,31 @@ def _pick_n_block(N: int, want: int) -> int:
     return N
 
 
+def _fit_blocks(
+    K: int, N: int, m_block: int, n_block: int, x_item: int, w_item: int
+) -> Tuple[int, int]:
+    """Shrink (m_block, n_block) until one grid cell's VMEM windows fit
+    under half the 16 MB scoped budget (Mosaic double-buffers grid
+    blocks).  Found the hard way: the w2 prefill tile at 7B
+    (M=1536, K=11008) with the default blocks overflows by ~1 MB and the
+    remote compile helper reports only 'subprocess exit code 1'."""
+    budget = 7_500_000
+
+    def cell_bytes(m, n):
+        return m * K * x_item + K * n * w_item + m * n * 4 + n * 4
+
+    while cell_bytes(m_block, n_block) > budget and m_block > 8:
+        m_block //= 2
+    while cell_bytes(m_block, n_block) > budget and n_block > 128:
+        n_block = _pick_n_block(N, max(n_block // 2, 128))
+        if n_block <= 128:
+            break
+    return m_block, n_block
+
+
 def _int8_matmul_kernel(x_ref, q_ref, s_ref, out_ref):
     w = q_ref[:].astype(jnp.bfloat16)  # dequant int8 tile in VMEM
-    y = jnp.dot(x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32)
+    y = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
     out_ref[:] = (y * s_ref[0, :]).astype(out_ref.dtype)
 
 
@@ -68,7 +90,11 @@ def int8_matmul(
     up to a block multiple and sliced back."""
     M, K = x.shape
     N = q.shape[1]
+    # bf16 x-blocks: the kernel computes in bf16 anyway, and f32 blocks
+    # double the x window (the 7B w2 prefill overflowed scoped VMEM)
+    x = x.astype(jnp.bfloat16)
     n_block = _pick_n_block(N, n_block)
+    m_block, n_block = _fit_blocks(K, N, m_block, n_block, x_item=2, w_item=1)
     M_pad = M
     if M > m_block:
         M_pad = ((M + m_block - 1) // m_block) * m_block
@@ -141,6 +167,7 @@ def int8xint8_matmul(
     M, K = xq.shape
     N = q.shape[1]
     n_block = _pick_n_block(N, n_block)
+    m_block, n_block = _fit_blocks(K, N, m_block, n_block, x_item=1, w_item=1)
     M_pad = M
     if M > m_block:
         M_pad = ((M + m_block - 1) // m_block) * m_block

@@ -9,6 +9,9 @@ fetch because block_until_ready is a no-op on the tunneled platform).
   python scripts/bench_llm.py --case decode_b8_int8
   python scripts/bench_llm.py --case decode_b8_int8x8
   python scripts/bench_llm.py --case decode_b1
+  python scripts/bench_llm.py --case decode_7b_int8       # REFERENCE shape:
+  python scripts/bench_llm.py --case decode_7b_b8_int8x8  #   dim 4096, 32 L,
+  python scripts/bench_llm.py --case anticipation_step_7b_int8_kv8  # vocab 32k
   python scripts/bench_llm.py --case online_microbatch    # frames/s, 1 stream
   python scripts/bench_llm.py --case online_perframe
   python scripts/bench_llm.py --all [--tiny]              # --tiny: CPU smoke
@@ -205,7 +208,8 @@ def bench_anticipation_step(tiny: bool, step_batch: int = 1,
     }
 
 
-def _llama_7b(kv_quant: bool, max_batch: int, max_seq: int):
+def _llama_7b(kv_quant: bool, max_batch: int, max_seq: int,
+              activations: bool = False):
     """The reference's PRIMARY serving shape (llama/model.py:20-31 defaults
     + Llama.build 7B checkpoints, generation.py:101-120): dim 4096, 32
     layers, 32 heads, **vocab 32000** — so the 4096x32000 lm-head read is
@@ -221,7 +225,9 @@ def _llama_7b(kv_quant: bool, max_batch: int, max_seq: int):
         multiple_of=256, norm_eps=1e-5, max_batch_size=max_batch,
         max_seq_len=max_seq,
     )
-    params = init_params_quantized(cfg, jax.random.PRNGKey(0), fused=True)
+    params = init_params_quantized(
+        cfg, jax.random.PRNGKey(0), fused=True, activations=activations
+    )
     # ByteTokenizer only supplies pad/eos sentinels here; prompts are raw
     # ids in [4, 31999] so nothing ever hits the 258-word byte vocab
     return Llama(params, ByteTokenizer(), cfg, kv_quant=kv_quant), cfg
@@ -232,10 +238,11 @@ _V5E_HBM_GBS = 819.0
 
 
 def bench_decode_7b(batch: int, tiny: bool, kv_quant: bool = False,
-                    gen_len: int = 128):
+                    gen_len: int = 128, activations: bool = False):
     if tiny:  # the 7B case is a real-chip measurement; CPU smoke skips it
         return {"case": f"decode_7b_b{batch}_int8", "skipped": "tiny"}
-    llama, cfg = _llama_7b(kv_quant, max_batch=batch, max_seq=256)
+    llama, cfg = _llama_7b(kv_quant, max_batch=batch, max_seq=256,
+                           activations=activations)
     rng = np.random.default_rng(0)
     prompts = [rng.integers(4, 31999, 8).tolist() for _ in range(batch)]
     llama.generate(prompts, max_gen_len=gen_len, temperature=0.0)  # compile
@@ -250,7 +257,8 @@ def bench_decode_7b(batch: int, tiny: bool, kv_quant: bool = False,
                  + 4096 * 22016 + 11008 * 4096)) / 1e9
     floor_ms = stream_gb / _V5E_HBM_GBS * 1e3
     return {
-        "case": f"decode_7b_b{batch}_int8" + ("_kv8" if kv_quant else ""),
+        "case": f"decode_7b_b{batch}_int8" + ("x8" if activations else "")
+        + ("_kv8" if kv_quant else ""),
         "value": round(ms_per_step, 2),
         "unit": "ms/step",
         "tok_per_s": round(batch * gen_len / dt, 1),
@@ -311,6 +319,8 @@ CASES = {
     "decode_7b_int8": lambda tiny: bench_decode_7b(1, tiny),
     "decode_7b_b8_int8": lambda tiny: bench_decode_7b(8, tiny),
     "decode_7b_b8_int8_kv8": lambda tiny: bench_decode_7b(8, tiny, kv_quant=True),
+    "decode_7b_int8x8": lambda tiny: bench_decode_7b(1, tiny, activations=True),
+    "decode_7b_b8_int8x8": lambda tiny: bench_decode_7b(8, tiny, activations=True),
     "anticipation_step_7b_int8_kv8": lambda tiny: bench_anticipation_step_7b(tiny),
 }
 
