@@ -102,6 +102,11 @@ def main():
     ap.add_argument("--gen", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--modes", type=str,
+        default="full,matmuls_only,no_attention,attention_only",
+        help="comma-separated subset (each variant costs a slow remote compile)",
+    )
     args = ap.parse_args()
 
     from prego_tpu.models.llama import ByteTokenizer, LlamaConfig, init_params
@@ -119,10 +124,12 @@ def main():
 
     sync = jax.jit(lambda t: jnp.sum(t))
     results = {}
-    for mode in ("full", "matmuls_only", "no_attention", "attention_only"):
+    for mode in args.modes.split(","):
         fn = build(cfg, params, rope, mode)
+        t0 = time.perf_counter()
         out = fn(tokens, args.gen)
         float(sync(out))
+        print(f"[{mode}] compiled+first in {time.perf_counter()-t0:.1f}s", flush=True)
         t0 = time.perf_counter()
         for _ in range(args.reps):
             out = fn(tokens, args.gen)
@@ -130,16 +137,15 @@ def main():
         dt = (time.perf_counter() - t0) / args.reps
         ms = dt / args.gen * 1e3
         results[mode] = ms
-        print(f"[{mode:14s}] {ms:6.3f} ms/step")
+        print(f"[{mode:14s}] {ms:6.3f} ms/step", flush=True)
 
-    full, mm, noat, at = (
-        results["full"], results["matmuls_only"],
-        results["no_attention"], results["attention_only"],
-    )
-    print(f"[residue       ] full - (no_attention + attention_only - matmul_overlap)")
-    print(f"  attention marginal (full - no_attention): {full - noat:.3f} ms")
-    print(f"  pointwise+sched   (no_attention - matmuls_only): {noat - mm:.3f} ms")
-    print(f"  matmul (HBM) core : {mm:.3f} ms")
+    if {"full", "matmuls_only", "no_attention"} <= set(results):
+        full, mm, noat = (
+            results["full"], results["matmuls_only"], results["no_attention"]
+        )
+        print(f"  attention marginal (full - no_attention): {full - noat:.3f} ms")
+        print(f"  pointwise+sched   (no_attention - matmuls_only): {noat - mm:.3f} ms")
+        print(f"  matmul (HBM) core : {mm:.3f} ms")
 
 
 if __name__ == "__main__":
