@@ -446,6 +446,18 @@ def _flash_decode_supported(config: LlamaConfig) -> bool:
 def _feed_forward(layer_params: Params, x: jax.Array) -> jax.Array:
     p = layer_params
     if "w13" in p:  # fused serving layout
+        if (
+            not isinstance(p["w13"], dict)  # bf16 leaves only (not int8)
+            and x.shape[1] == 1  # decode rows
+            and _fused_ffn_supported()
+        ):
+            # whole SwiGLU FFN in one Pallas program (ops/fused_ffn.py):
+            # fewer per-layer op boundaries on the decode path
+            from prego_tpu.ops.fused_ffn import fused_ffn
+
+            B, S, D = x.shape
+            y = fused_ffn(x.reshape(B * S, D), p["w13"], p["w2"])
+            return y.reshape(B, S, D).astype(x.dtype)
         g13 = _dense(x, p["w13"])
         F = g13.shape[-1] // 2
         gate, up = g13[..., :F], g13[..., F:]
@@ -454,6 +466,16 @@ def _feed_forward(layer_params: Params, x: jax.Array) -> jax.Array:
         up = _dense(x, p["w3"])
     act = (jax.nn.silu(gate) * up).astype(x.dtype)
     return _dense(act, p["w2"]).astype(x.dtype)
+
+
+def _fused_ffn_supported() -> bool:
+    import os
+
+    if os.environ.get("PREGO_FUSED_FFN", "1") == "0":  # kill switch
+        return False
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
 
 
 def forward(

@@ -267,19 +267,24 @@ def bench_decode_7b(batch: int, tiny: bool, kv_quant: bool = False,
     }
 
 
-def bench_anticipation_step_7b(tiny: bool, kv_quant: bool = True):
+def bench_anticipation_step_7b(tiny: bool, kv_quant: bool = True,
+                               step_batch: int = 1):
     """The PREGO anticipation step AT THE REFERENCE SHAPE: 4 sampled
     generations (num_samples=2 squared) sharing a ~1.5k-token context,
-    7B int8, real 32k lm-head, KV prefix cache."""
+    7B int8, real 32k lm-head, KV prefix cache. step_batch folds that
+    many consecutive steps into one dispatch (driver --step_batch)."""
     if tiny:
         return {"case": "anticipation_step_7b_int8", "skipped": "tiny"}
-    llama, cfg = _llama_7b(kv_quant, max_batch=4, max_seq=2048)
+    bsz = 4 * step_batch
+    llama, cfg = _llama_7b(kv_quant, max_batch=bsz, max_seq=2048)
     rng = np.random.default_rng(0)
     context = rng.integers(4, 31999, 1500).tolist()
     gen_len = 8
 
     def step(observed):
-        prompts = [context + observed] * 4
+        prompts = []
+        for s in range(step_batch):
+            prompts.extend([context + observed + list(range(7, 7 + s))] * 4)
         return llama.generate_with_prefix_cache(
             prompts, max_gen_len=gen_len, temperature=0.6, top_p=0.9
         )
@@ -289,12 +294,15 @@ def bench_anticipation_step_7b(tiny: bool, kv_quant: bool = True):
     reps = 5
     for i in range(reps):
         step([7, 8, 9] + rng.integers(4, 31999, i % 5).tolist())
-    dt = (time.perf_counter() - t0) / reps
+    dt = (time.perf_counter() - t0) / reps / step_batch
     return {
-        "case": "anticipation_step_7b_int8" + ("_kv8" if kv_quant else ""),
+        "case": "anticipation_step_7b_int8"
+        + ("_kv8" if kv_quant else "")
+        + (f"_sb{step_batch}" if step_batch > 1 else ""),
         "value": round(dt * 1e3, 1),
         "unit": "ms/step (4 gens, shared ctx)",
         "ctx_len": 1500,
+        "step_batch": step_batch,
         "prefix_rebuilds": llama.prefix_rebuilds,
     }
 
@@ -322,6 +330,8 @@ CASES = {
     "decode_7b_int8x8": lambda tiny: bench_decode_7b(1, tiny, activations=True),
     "decode_7b_b8_int8x8": lambda tiny: bench_decode_7b(8, tiny, activations=True),
     "anticipation_step_7b_int8_kv8": lambda tiny: bench_anticipation_step_7b(tiny),
+    "anticipation_step_7b_int8_kv8_sb2": lambda tiny: bench_anticipation_step_7b(
+        tiny, step_batch=2),
 }
 
 

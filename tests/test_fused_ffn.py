@@ -1,0 +1,44 @@
+"""Fused SwiGLU FFN kernel vs the three-op XLA reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prego_tpu.ops.fused_ffn import fused_ffn, fused_ffn_reference
+
+
+@pytest.mark.parametrize("M,D,F,fb", [
+    (8, 256, 512, 128),    # decode-shaped: F tiles
+    (8, 256, 384, 512),    # F smaller than wanted block -> halving path
+    (1, 128, 256, 128),    # batch 1
+    (16, 128, 250, 512),   # F with no 128-multiple divisor -> single tile
+])
+def test_fused_ffn_matches_reference(M, D, F, fb):
+    rng = np.random.default_rng(M + F)
+    x = jnp.asarray(rng.normal(0, 1, (M, D)).astype(np.float32))
+    w13 = jnp.asarray(rng.normal(0, 0.05, (D, 2 * F)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(0, 0.05, (F, D)).astype(np.float32))
+    got = fused_ffn(x, w13, w2, f_block=fb, interpret=True)
+    want = fused_ffn_reference(x, w13, w2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_decode_equality_with_and_without_fused_ffn(monkeypatch):
+    """End-to-end greedy decode must be identical with the fused-FFN path
+    forced on (interpret via CPU fallback is exercised by forcing the
+    supported() check; on CPU the flag keeps the XLA path, so compare
+    the kernel directly at the model's FFN seam instead)."""
+    from prego_tpu.models.llama import init_params, tiny_test_config
+    from prego_tpu.models.llama.model import _feed_forward, fuse_projections
+
+    cfg = tiny_test_config()
+    params = fuse_projections(init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32))
+    layer = params["layers"][0]["feed_forward"]
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (4, 1, cfg.dim)).astype(np.float32))
+
+    ref = _feed_forward(layer, x)  # CPU: XLA path
+    got = fused_ffn(
+        x.reshape(4, cfg.dim), layer["w13"], layer["w2"], interpret=True
+    ).reshape(4, 1, cfg.dim).astype(x.dtype)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)

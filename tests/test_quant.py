@@ -125,3 +125,40 @@ def test_lm_head_width_tiles():
     got = int8_matmul(x, q, s, interpret=True)
     want = int8_matmul_reference(x, q, s)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_init_params_quantized_matches_serving_layout():
+    """Fabricated direct-int8 params must be structurally identical to
+    fuse_projections(quantize_params(init_params(...))) and run the same
+    forward code path (tiny shapes, CPU)."""
+    import numpy as np
+    from prego_tpu.models.llama import ByteTokenizer, Llama, init_params, tiny_test_config
+    from prego_tpu.models.llama.model import (
+        fuse_projections, init_params_quantized,
+    )
+
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    ref = quantize_params(fuse_projections(
+        init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ))
+    fab = init_params_quantized(cfg, jax.random.PRNGKey(0), fused=True,
+                                dtype=jnp.float32)
+    assert jax.tree.structure(ref) == jax.tree.structure(fab)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(fab)):
+        assert a.shape == b.shape and a.dtype == b.dtype, (a.shape, b.shape)
+    # effective weight magnitude matches init_params' 1/sqrt(d_in) scaling
+    w13 = fab["layers"][0]["feed_forward"]["w13"]
+    eff = np.asarray(w13["q"], np.float32) * np.asarray(w13["s"])
+    rms = float(np.sqrt((eff ** 2).mean()))
+    expect = 1.0 / np.sqrt(cfg.dim)
+    assert 0.5 * expect < rms < 2.0 * expect
+    # and it actually decodes through the serving path
+    llama = Llama(fab, tok, cfg)
+    out = llama.generate([[1, 2, 3]], max_gen_len=3, temperature=0.0)[0]
+    assert len(out[0]) == 3
+    # activations=True adds the int8x8 marker leaf-free
+    fab8 = init_params_quantized(cfg, jax.random.PRNGKey(0), activations=True,
+                                 dtype=jnp.float32)
+    assert "act" in fab8["output"]
+    assert len(jax.tree.leaves(fab8)) == len(jax.tree.leaves(fab))
