@@ -400,6 +400,19 @@ def _attention(
                 q[:, 0], cache_k["q"], cache_k["s"],
                 cache_v["q"], cache_v["s"], start_pos + 1,
             )
+        elif (
+            not isinstance(p["wo"], dict)  # bf16 leaf (not int8)
+            and p["wo"].size <= 4_500_000  # wo must fit VMEM beside k/v bufs
+            and _fused_attn_wo_supported()
+        ):
+            # wo projection fused into the kernel epilogue: one program
+            # covers attention + output projection (ops/decode_attention.py)
+            from prego_tpu.ops.decode_attention import decode_attention_bounded_wo
+
+            proj = decode_attention_bounded_wo(
+                q[:, 0], cache_k, cache_v, start_pos + 1, p["wo"]
+            )  # (B, D) f32 — already projected
+            return proj[:, None, :].astype(x.dtype), cache_k, cache_v
         else:
             from prego_tpu.ops.decode_attention import decode_attention_bounded
 
@@ -476,6 +489,12 @@ def _fused_ffn_supported() -> bool:
     import jax as _jax
 
     return _jax.default_backend() == "tpu"
+
+
+def _fused_attn_wo_supported() -> bool:
+    import os
+
+    return os.environ.get("PREGO_FUSED_ATTN_WO", "1") != "0"  # kill switch
 
 
 def forward(

@@ -127,25 +127,13 @@ def decode_attention(
     )(valid, q, cache_k, cache_v)
 
 
-def _decode_kernel_bounded(
-    valid_ref,  # (1, 1) SMEM int32
-    q_ref,  # (1, KV, R, hd) VMEM
-    k_hbm,  # (B, KV, T, hd) ANY/HBM — full cache, blocks DMA'd manually
-    v_hbm,  # (B, KV, T, hd) ANY/HBM
-    out_ref,  # (1, KV, R, hd) VMEM
-    k_buf,  # (2, KV, Tb, hd) VMEM scratch — double buffer
-    v_buf,  # (2, KV, Tb, hd) VMEM scratch
-    m_ref,  # (KV, R, 128) f32 scratch
-    l_ref,  # (KV, R, 128) f32 scratch
-    acc_ref,  # (KV, R, hd) f32 scratch
-    sem,  # DMA semaphores (2 slots x {k, v})
-    *,
-    kv_heads: int,
-    t_block: int,
-    head_dim: int,
+def _bounded_walk(
+    b, valid, q_ref, k_hbm, v_hbm, k_buf, v_buf, m_ref, l_ref, acc_ref, sem,
+    *, kv_heads: int, t_block: int, head_dim: int,
 ):
-    b = pl.program_id(0)
-    valid = valid_ref[0, 0]
+    """Shared dynamic-trip block walk for the bounded decode kernels:
+    streams k/v blocks up to valid_len through a double buffer and leaves
+    the UNNORMALIZED streaming-softmax state in (m_ref, l_ref, acc_ref)."""
     # dynamic trip count: blocks wholly past valid_len are never DMA'd,
     # so HBM cache traffic scales with occupancy, not buffer length.
     # Clamped to >= 1: the block-0 DMA is started unconditionally below,
@@ -219,9 +207,75 @@ def _decode_kernel_bounded(
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
+
+def _decode_kernel_bounded(
+    valid_ref,  # (1, 1) SMEM int32
+    q_ref,  # (1, KV, R, hd) VMEM
+    k_hbm,  # (B, KV, T, hd) ANY/HBM — full cache, blocks DMA'd manually
+    v_hbm,  # (B, KV, T, hd) ANY/HBM
+    out_ref,  # (1, KV, R, hd) VMEM
+    k_buf,  # (2, KV, Tb, hd) VMEM scratch — double buffer
+    v_buf,  # (2, KV, Tb, hd) VMEM scratch
+    m_ref,  # (KV, R, 128) f32 scratch
+    l_ref,  # (KV, R, 128) f32 scratch
+    acc_ref,  # (KV, R, hd) f32 scratch
+    sem,  # DMA semaphores (2 slots x {k, v})
+    *,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+):
+    b = pl.program_id(0)
+    valid = valid_ref[0, 0]
+    _bounded_walk(
+        b, valid, q_ref, k_hbm, v_hbm, k_buf, v_buf, m_ref, l_ref, acc_ref,
+        sem, kv_heads=kv_heads, t_block=t_block, head_dim=head_dim,
+    )
+
     for g in range(kv_heads):
         denom = jnp.maximum(l_ref[g][:, :1], 1e-30)
         out_ref[0, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
+
+
+def _decode_kernel_bounded_wo(
+    valid_ref,  # (1, 1) SMEM int32
+    q_ref,  # (1, KV, R, hd) VMEM
+    k_hbm,  # (B, KV, T, hd) ANY/HBM
+    v_hbm,  # (B, KV, T, hd) ANY/HBM
+    wo_hbm,  # (KV*R*hd, D) ANY/HBM — one-time DMA, resident across grid
+    out_ref,  # (1, D) VMEM — attention output ALREADY projected by wo
+    k_buf, v_buf, m_ref, l_ref, acc_ref,
+    wo_vmem,  # (KV*R*hd, D) scratch
+    sem,
+    wo_sem,
+    *,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+):
+    b = pl.program_id(0)
+    valid = valid_ref[0, 0]
+
+    @pl.when(b == 0)
+    def _():
+        dma = pltpu.make_async_copy(wo_hbm, wo_vmem, wo_sem)
+        dma.start()
+        dma.wait()
+
+    _bounded_walk(
+        b, valid, q_ref, k_hbm, v_hbm, k_buf, v_buf, m_ref, l_ref, acc_ref,
+        sem, kv_heads=kv_heads, t_block=t_block, head_dim=head_dim,
+    )
+
+    # normalize, flatten heads ((g, r, hd) order matches wo's row order =
+    # h * hd with h = g*R + r), project: (1, H*hd) @ (H*hd, D)
+    denom = jnp.maximum(l_ref[:, :, :1], 1e-30)  # (KV, R, 1)
+    o = (acc_ref[:] / denom).astype(wo_vmem.dtype)  # (KV, R, hd)
+    flat = o.reshape(1, -1)
+    out_ref[:] = jax.lax.dot_general(
+        flat, wo_vmem[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
 
 
 def _decode_kernel_bounded_fold(
@@ -407,6 +461,60 @@ def decode_attention_bounded(
         ],
         interpret=interpret,
     )(valid, q, cache_k, cache_v)
+
+
+def decode_attention_bounded_wo(
+    q: jax.Array,  # (B, KV, R, hd)
+    cache_k: jax.Array,  # (B, KV, T, hd)
+    cache_v: jax.Array,  # (B, KV, T, hd)
+    valid_len: jax.Array,  # scalar int32
+    wo: jax.Array,  # (KV*R*hd, D) bf16 — the attention output projection
+    t_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Bounded flash decode with the wo projection FUSED into the kernel
+    epilogue (VERDICT r2 #4 lever: one fewer op boundary per layer).  wo
+    is DMA'd to VMEM once at grid step 0 and stays resident across the
+    (B,) grid, so its HBM bytes are read once per step exactly like the
+    XLA path.  Returns (B, D) f32 — already projected.  Caller gates on
+    wo fitting VMEM beside the k/v double buffers (~8 MB at the 1B
+    serving shape; the 7B shape serves int8 and keeps the unfused path)."""
+    B, KV, R, hd = q.shape
+    T = cache_k.shape[2]
+    D = wo.shape[1]
+    assert wo.shape[0] == KV * R * hd, (wo.shape, KV * R * hd)
+    t_block = min(t_block, T)
+    if T % t_block != 0:
+        raise ValueError(f"T={T} not a multiple of t_block={t_block}")
+
+    valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(
+        _decode_kernel_bounded_wo, kv_heads=KV, t_block=t_block, head_dim=hd
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, KV, R, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, KV, t_block, hd), cache_k.dtype),
+            pltpu.VMEM((2, KV, t_block, hd), cache_v.dtype),
+            pltpu.VMEM((KV, R, 128), jnp.float32),
+            pltpu.VMEM((KV, R, 128), jnp.float32),
+            pltpu.VMEM((KV, R, hd), jnp.float32),
+            pltpu.VMEM((KV * R * hd, D), wo.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(valid, q, cache_k, cache_v, wo)
 
 
 def _decode_kernel_bounded_q8(

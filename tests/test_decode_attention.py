@@ -187,3 +187,33 @@ def test_gqa_wide_groups(rng, R):
         t_block=256, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("valid", [1, 137, 512])
+def test_bounded_wo_fusion_matches_unfused(valid):
+    """Attention with the wo projection fused into the kernel epilogue
+    must equal bounded attention followed by the XLA wo matmul."""
+    from prego_tpu.ops.decode_attention import decode_attention_bounded_wo
+
+    rng = np.random.default_rng(valid)
+    B, KV, R, hd, T, D = 3, 4, 2, 128, 512, 256
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    wo = rng.normal(0, 0.05, (KV * R * hd, D)).astype(np.float32)
+    k[:, :, valid:] = 1e4
+    v[:, :, valid:] = -1e4
+
+    attn = decode_attention_bounded(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
+        t_block=256, interpret=True,
+    )  # (B, KV, R, hd)
+    want = jnp.dot(
+        attn.reshape(B, KV * R * hd), jnp.asarray(wo),
+        preferred_element_type=jnp.float32,
+    )
+    got = decode_attention_bounded_wo(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
+        jnp.asarray(wo), t_block=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
