@@ -49,10 +49,15 @@ def fused_ffn(
     x: jax.Array,  # (M, D)
     w13: jax.Array,  # (D, 2F) fused [w1 | w3]
     w2: jax.Array,  # (F, D)
-    f_block: int = 512,
+    f_block: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns silu(x @ w1) * (x @ w3) @ w2 as (M, D) f32."""
+    """Returns silu(x @ w1) * (x @ w3) @ w2 as (M, D) f32.
+
+    f_block=256 keeps one grid cell's three weight windows at ~3 MB
+    (x6 MB double-buffered) — Mosaic double-buffers every grid-mapped
+    block, and the r3 bisects showed the compile helper dies opaquely
+    right at the 16 MB scoped-VMEM edge, so stay well under it."""
     M, D = x.shape
     F = w2.shape[0]
     assert w13.shape == (D, 2 * F), (w13.shape, (D, 2 * F))
