@@ -399,6 +399,7 @@ def _attention(
             out = decode_attention_bounded_q8(
                 q[:, 0], cache_k["q"], cache_k["s"],
                 cache_v["q"], cache_v["s"], start_pos + 1,
+                fold_batch=_fold_batch_requested(B),
             )
         elif (
             not isinstance(p["wo"], dict)  # bf16 leaf (not int8)
@@ -411,13 +412,14 @@ def _attention(
 
             proj = decode_attention_bounded_wo(
                 q[:, 0], cache_k, cache_v, start_pos + 1, p["wo"]
-            )  # (B, D) f32 — already projected
-            return proj[:, None, :].astype(x.dtype), cache_k, cache_v
+            )  # (B, 1, D) f32 — already projected
+            return proj.astype(x.dtype), cache_k, cache_v
         else:
             from prego_tpu.ops.decode_attention import decode_attention_bounded
 
             out = decode_attention_bounded(
-                q[:, 0], cache_k, cache_v, start_pos + 1
+                q[:, 0], cache_k, cache_v, start_pos + 1,
+                fold_batch=_fold_batch_requested(B),
             )  # (B, KV, R, hd); HBM reads stop at the valid cache length
         out = out.reshape(B, 1, H * hd).astype(x.dtype)
     else:
@@ -495,6 +497,18 @@ def _fused_attn_wo_supported() -> bool:
     import os
 
     return os.environ.get("PREGO_FUSED_ATTN_WO", "1") != "0"  # kill switch
+
+
+def _fold_batch_requested(batch: int) -> bool:
+    """Opt-in (PREGO_FOLD_BATCH=1): run the bounded decode-attention
+    kernels with the whole batch folded into ONE grid program. Measured
+    -7.5% marginal / +25 ms per-call fixed at the 1B shape (RESULTS.md),
+    so it pays only for long-generation workloads; off by default.
+    Applies to the plain-bounded and int8-KV paths (the wo-fused epilogue
+    kernel has no fold variant and takes priority when eligible)."""
+    import os
+
+    return batch > 1 and os.environ.get("PREGO_FOLD_BATCH", "0") == "1"
 
 
 def forward(

@@ -243,7 +243,7 @@ def _decode_kernel_bounded_wo(
     k_hbm,  # (B, KV, T, hd) ANY/HBM
     v_hbm,  # (B, KV, T, hd) ANY/HBM
     wo_hbm,  # (KV*R*hd, D) ANY/HBM — one-time DMA, resident across grid
-    out_ref,  # (1, D) VMEM — attention output ALREADY projected by wo
+    out_ref,  # (1, 1, D) VMEM — attention output ALREADY projected by wo
     k_buf, v_buf, m_ref, l_ref, acc_ref,
     wo_vmem,  # (KV*R*hd, D) scratch
     sem,
@@ -272,7 +272,7 @@ def _decode_kernel_bounded_wo(
     denom = jnp.maximum(l_ref[:, :, :1], 1e-30)  # (KV, R, 1)
     o = (acc_ref[:] / denom).astype(wo_vmem.dtype)  # (KV, R, hd)
     flat = o.reshape(1, -1)
-    out_ref[:] = jax.lax.dot_general(
+    out_ref[0] = jax.lax.dot_general(
         flat, wo_vmem[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(out_ref.dtype)
@@ -476,7 +476,10 @@ def decode_attention_bounded_wo(
     epilogue (VERDICT r2 #4 lever: one fewer op boundary per layer).  wo
     is DMA'd to VMEM once at grid step 0 and stays resident across the
     (B,) grid, so its HBM bytes are read once per step exactly like the
-    XLA path.  Returns (B, D) f32 — already projected.  Caller gates on
+    XLA path.  Returns (B, 1, D) f32 — already projected; the middle
+    singleton keeps the per-program output block (1, 1, D), whose last
+    two dims satisfy the Mosaic (8, 128) tiling rule for any B (a 2D
+    (1, D) block over (B, D) does NOT lower when B > 1).  Caller gates on
     wo fitting VMEM beside the k/v double buffers (~8 MB at the 1B
     serving shape; the 7B shape serves int8 and keeps the unfused path)."""
     B, KV, R, hd = q.shape
@@ -501,8 +504,10 @@ def decode_attention_bounded_wo(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, D), lambda b: (b, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, KV, t_block, hd), cache_k.dtype),
             pltpu.VMEM((2, KV, t_block, hd), cache_v.dtype),
@@ -515,6 +520,91 @@ def decode_attention_bounded_wo(
         ],
         interpret=interpret,
     )(valid, q, cache_k, cache_v, wo)
+
+
+def _q8_head_update(
+    g, q_row, slot, base, valid,
+    kq_buf, ks_buf, vq_buf, vs_buf, m_ref, l_ref, acc_ref,
+    *, scale, int8_mxu: bool,
+):
+    """One head's streaming-softmax update against the staged int8 block
+    (shared by the per-batch-program and batch-folded q8 kernels)."""
+    k_sc = ks_buf[slot, g : g + 1]  # (1, Tb)
+    if int8_mxu:
+        # quantize the query per row so q@k runs int8 x int8 ->
+        # int32 on the MXU (int8 operands straight into the dot —
+        # casting to int32 first is an unsupported Mosaic matmul)
+        q_g = q_row.astype(jnp.float32)  # (R, hd)
+        qmax = jnp.maximum(
+            jnp.max(jnp.abs(q_g), axis=1, keepdims=True), 1e-8
+        )
+        qs = qmax / 127.0  # (R, 1)
+        q_q = jnp.round(q_g / qs).astype(jnp.int8)
+        s_i32 = jax.lax.dot_general(
+            q_q, kq_buf[slot, g],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (R, Tb)
+        s = s_i32.astype(jnp.float32) * qs * k_sc * scale
+    else:
+        # VPU-dequantize the int8 tile to bf16 and ride the proven
+        # bf16 MXU path (the transposed int8 contraction lowers to
+        # a slow Mosaic fallback on v5e)
+        k_bf = kq_buf[slot, g].astype(jnp.bfloat16)  # (Tb, hd)
+        s = (
+            jax.lax.dot_general(
+                q_row.astype(jnp.bfloat16), k_bf,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * k_sc
+            * scale
+        )  # (R, Tb)
+    pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(pos < valid, s, -1e30)
+
+    m_old = m_ref[g][:, :1]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    # explicit re-mask (see _decode_kernel_bounded): all-masked
+    # blocks must contribute zero, not exp(0)
+    p = jnp.where(pos < valid, jnp.exp(s - m_new), 0.0)  # (R, Tb)
+
+    l_new = l_ref[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    # fold the per-position v scale into p
+    pv = p * vs_buf[slot, g : g + 1]  # (R, Tb)
+    if int8_mxu:
+        # quantize p per row at int16-equivalent precision emulated
+        # as TWO 7-bit int8 dots (hi/lo split): single-int8 p costs
+        # ~2% max-norm error, the split makes it negligible
+        pmax = jnp.maximum(
+            jnp.max(jnp.abs(pv), axis=1, keepdims=True), 1e-30
+        )
+        ps = pmax / (127.0 * 128.0)
+        pq = jnp.round(pv / ps)  # integers in [0, 16256]
+        hi = jnp.floor(pq / 128.0)
+        lo = pq - hi * 128.0
+
+        def _pdot(rows):
+            return jax.lax.dot_general(
+                rows, vq_buf[slot, g],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+
+        contrib = (
+            _pdot(hi.astype(jnp.int8)) * 128.0 + _pdot(lo.astype(jnp.int8))
+        ) * ps  # (R, hd)
+    else:
+        contrib = jax.lax.dot_general(
+            pv.astype(jnp.bfloat16),
+            vq_buf[slot, g].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (R, hd)
+    acc_ref[g] = acc_ref[g] * alpha + contrib
+    m_ref[g] = jnp.broadcast_to(m_new, m_ref[g].shape)
+    l_ref[g] = jnp.broadcast_to(l_new, l_ref[g].shape)
 
 
 def _decode_kernel_bounded_q8(
@@ -575,82 +665,11 @@ def _decode_kernel_bounded_q8(
         base = i * t_block
 
         for g in range(kv_heads):
-            k_sc = ks_buf[slot, g : g + 1]  # (1, Tb)
-            if int8_mxu:
-                # quantize the query per row so q@k runs int8 x int8 ->
-                # int32 on the MXU (int8 operands straight into the dot —
-                # casting to int32 first is an unsupported Mosaic matmul)
-                q_g = q_ref[0, g].astype(jnp.float32)  # (R, hd)
-                qmax = jnp.maximum(
-                    jnp.max(jnp.abs(q_g), axis=1, keepdims=True), 1e-8
-                )
-                qs = qmax / 127.0  # (R, 1)
-                q_q = jnp.round(q_g / qs).astype(jnp.int8)
-                s_i32 = jax.lax.dot_general(
-                    q_q, kq_buf[slot, g],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )  # (R, Tb)
-                s = s_i32.astype(jnp.float32) * qs * k_sc * scale
-            else:
-                # VPU-dequantize the int8 tile to bf16 and ride the proven
-                # bf16 MXU path (the transposed int8 contraction lowers to
-                # a slow Mosaic fallback on v5e)
-                k_bf = kq_buf[slot, g].astype(jnp.bfloat16)  # (Tb, hd)
-                s = (
-                    jax.lax.dot_general(
-                        q_ref[0, g].astype(jnp.bfloat16), k_bf,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    * k_sc
-                    * scale
-                )  # (R, Tb)
-            pos = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(pos < valid, s, -1e30)
-
-            m_old = m_ref[g][:, :1]
-            m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m_old - m_new)
-            # explicit re-mask (see _decode_kernel_bounded): all-masked
-            # blocks must contribute zero, not exp(0)
-            p = jnp.where(pos < valid, jnp.exp(s - m_new), 0.0)  # (R, Tb)
-
-            l_new = l_ref[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-            # fold the per-position v scale into p
-            pv = p * vs_buf[slot, g : g + 1]  # (R, Tb)
-            if int8_mxu:
-                # quantize p per row at int16-equivalent precision emulated
-                # as TWO 7-bit int8 dots (hi/lo split): single-int8 p costs
-                # ~2% max-norm error, the split makes it negligible
-                pmax = jnp.maximum(
-                    jnp.max(jnp.abs(pv), axis=1, keepdims=True), 1e-30
-                )
-                ps = pmax / (127.0 * 128.0)
-                pq = jnp.round(pv / ps)  # integers in [0, 16256]
-                hi = jnp.floor(pq / 128.0)
-                lo = pq - hi * 128.0
-
-                def _pdot(rows):
-                    return jax.lax.dot_general(
-                        rows, vq_buf[slot, g],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    ).astype(jnp.float32)
-
-                contrib = (
-                    _pdot(hi.astype(jnp.int8)) * 128.0 + _pdot(lo.astype(jnp.int8))
-                ) * ps  # (R, hd)
-            else:
-                contrib = jax.lax.dot_general(
-                    pv.astype(jnp.bfloat16),
-                    vq_buf[slot, g].astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (R, hd)
-            acc_ref[g] = acc_ref[g] * alpha + contrib
-            m_ref[g] = jnp.broadcast_to(m_new, m_ref[g].shape)
-            l_ref[g] = jnp.broadcast_to(l_new, l_ref[g].shape)
+            _q8_head_update(
+                g, q_ref[0, g], slot, base, valid,
+                kq_buf, ks_buf, vq_buf, vs_buf, m_ref, l_ref, acc_ref,
+                scale=scale, int8_mxu=int8_mxu,
+            )
         return carry
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
@@ -658,6 +677,87 @@ def _decode_kernel_bounded_q8(
     for g in range(kv_heads):
         denom = jnp.maximum(l_ref[g][:, :1], 1e-30)
         out_ref[0, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
+
+
+def _decode_kernel_bounded_q8_fold(
+    valid_ref,  # (1, 1) SMEM int32
+    q_ref,  # (B, KV, R, hd) VMEM — ALL batch rows resident (tiny)
+    kq_hbm,  # (B, KV, T, hd) int8
+    ks_hbm,  # (B, KV, T) f32
+    vq_hbm,  # (B, KV, T, hd) int8
+    vs_hbm,  # (B, KV, T) f32
+    out_ref,  # (B, KV, R, hd) VMEM
+    kq_buf, ks_buf, vq_buf, vs_buf,  # double-buffered block scratch
+    m_ref, l_ref, acc_ref,  # streaming-softmax state (one row at a time)
+    sem,  # DMA semaphores (2 slots x 4 streams)
+    *,
+    batch: int,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+    int8_mxu: bool,
+):
+    """Batch-FOLDED int8-KV variant (see _decode_kernel_bounded_fold):
+    one grid program walks a flat (b, block) sequence so the 4-stream DMA
+    pipeline crosses batch-row boundaries and per-grid-program overhead
+    is paid once instead of B times — the B=8 7B serving lever
+    (RESULTS.md: per-(batch,head) program costs grow at 32 layers)."""
+    valid = valid_ref[0, 0]
+    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
+    total = batch * n_blocks
+
+    def dmas(slot, flat):
+        b = flat // n_blocks
+        idx = flat - b * n_blocks
+        sl = pl.ds(idx * t_block, t_block)
+        return [
+            pltpu.make_async_copy(kq_hbm.at[b, :, sl, :], kq_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(ks_hbm.at[b, :, sl], ks_buf.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(vq_hbm.at[b, :, sl, :], vq_buf.at[slot], sem.at[slot, 2]),
+            pltpu.make_async_copy(vs_hbm.at[b, :, sl], vs_buf.at[slot], sem.at[slot, 3]),
+        ]
+
+    for d in dmas(0, 0):
+        d.start()
+    scale = jax.lax.rsqrt(jnp.asarray(head_dim, jnp.float32))
+
+    def body(f, carry):
+        slot = jax.lax.rem(f, 2)
+        nxt = jax.lax.rem(f + 1, 2)
+
+        @pl.when(f + 1 < total)
+        def _():
+            for d in dmas(nxt, f + 1):
+                d.start()
+
+        for d in dmas(slot, f):
+            d.wait()
+        b = f // n_blocks
+        i = f - b * n_blocks
+
+        @pl.when(i == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, -1e30)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        base = i * t_block
+        for g in range(kv_heads):
+            _q8_head_update(
+                g, q_ref[b, g], slot, base, valid,
+                kq_buf, ks_buf, vq_buf, vs_buf, m_ref, l_ref, acc_ref,
+                scale=scale, int8_mxu=int8_mxu,
+            )
+
+        @pl.when(i == n_blocks - 1)
+        def _():
+            for g in range(kv_heads):
+                denom = jnp.maximum(l_ref[g][:, :1], 1e-30)
+                out_ref[b, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
+
+        return carry
+
+    jax.lax.fori_loop(0, total, body, 0)
 
 
 def decode_attention_bounded_q8(
@@ -670,6 +770,7 @@ def decode_attention_bounded_q8(
     t_block: int = 256,
     interpret: bool = False,
     int8_mxu: bool = False,
+    fold_batch: bool = False,
 ) -> jax.Array:
     """Bounded flash decode over an int8 KV cache (per-position-per-head
     symmetric scales): halves decode HBM cache traffic and doubles the
@@ -677,18 +778,51 @@ def decode_attention_bounded_q8(
     to bf16 on the VPU and rides the bf16 MXU — measured 48 ms/step for
     the transposed int8 contraction on v5e (Mosaic fallback) vs the bf16
     path's sub-ms, so ``int8_mxu=True`` is kept for re-evaluation on
-    hardware whose Mosaic lowers it natively."""
+    hardware whose Mosaic lowers it natively. ``fold_batch`` runs the
+    whole batch in ONE grid program (flat (b, block) walk), like
+    decode_attention_bounded's fold variant."""
     B, KV, R, hd = q.shape
     T = cache_kq.shape[2]
     t_block = min(t_block, T)
     if T % t_block != 0:
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
 
+    valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    if fold_batch:
+        kernel = functools.partial(
+            _decode_kernel_bounded_q8_fold,
+            batch=B, kv_heads=KV, t_block=t_block, head_dim=hd,
+            int8_mxu=int8_mxu,
+        )
+        return pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, KV, R, hd), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, KV, t_block, hd), jnp.int8),
+                pltpu.VMEM((2, KV, t_block), jnp.float32),
+                pltpu.VMEM((2, KV, t_block, hd), jnp.int8),
+                pltpu.VMEM((2, KV, t_block), jnp.float32),
+                pltpu.VMEM((KV, R, 128), jnp.float32),
+                pltpu.VMEM((KV, R, 128), jnp.float32),
+                pltpu.VMEM((KV, R, hd), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ],
+            interpret=interpret,
+        )(valid, q, cache_kq, cache_ks, cache_vq, cache_vs)
+
     kernel = functools.partial(
         _decode_kernel_bounded_q8, kv_heads=KV, t_block=t_block, head_dim=hd,
         int8_mxu=int8_mxu,
     )
-    valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
     return pl.pallas_call(
         kernel,
         grid=(B,),

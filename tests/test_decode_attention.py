@@ -113,12 +113,15 @@ def _quantize_kv(x):
     return q, s.astype(np.float32)
 
 
+@pytest.mark.parametrize("fold", [False, True])
 @pytest.mark.parametrize("int8_mxu", [False, True])
 @pytest.mark.parametrize("valid", [1, 100, 256, 300, 512])
-def test_q8_matches_dequantized_reference(rng, valid, int8_mxu):
+def test_q8_matches_dequantized_reference(rng, valid, int8_mxu, fold):
     """int8-KV flash decode vs the f32 reference run on the DEQUANTIZED
     cache: isolates the kernel's own error (q/p row quantization) from
-    the storage quantization, which the bar covers separately."""
+    the storage quantization, which the bar covers separately. fold=True
+    exercises the batch-folded single-program walk (distinct per-row
+    state reset/output paths)."""
     B, KV, R, hd, T = 2, 4, 1, 128, 512
     q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
     k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
@@ -136,7 +139,7 @@ def test_q8_matches_dequantized_reference(rng, valid, int8_mxu):
     got = decode_attention_bounded_q8(
         jnp.asarray(q), jnp.asarray(kq), jnp.asarray(ks),
         jnp.asarray(vq), jnp.asarray(vs), jnp.int32(valid),
-        t_block=256, interpret=True, int8_mxu=int8_mxu,
+        t_block=256, interpret=True, int8_mxu=int8_mxu, fold_batch=fold,
     )
     # residual error: bf16 rounding (default mode) or in-kernel q int8
     # rounding (int8_mxu; p runs at int16-equivalent precision via the
@@ -215,5 +218,8 @@ def test_bounded_wo_fusion_matches_unfused(valid):
     got = decode_attention_bounded_wo(
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
         jnp.asarray(wo), t_block=256, interpret=True,
+    )  # (B, 1, D)
+    assert got.shape == (B, 1, D)
+    np.testing.assert_allclose(
+        np.asarray(got)[:, 0], np.asarray(want), rtol=2e-4, atol=2e-4
     )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
