@@ -338,7 +338,12 @@ def _attention(
     cache_v: jax.Array,
     config: LlamaConfig,
     use_flash_decode: bool = True,
+    residual: Optional[jax.Array] = None,  # (B, S, D) pre-norm stream
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """With ``residual`` the returned activation is the POST-residual
+    stream ``residual + attn_out`` (the add fused into the wo-projection
+    kernel epilogue on the eligible decode path, plain XLA elsewhere);
+    without it, the bare attention output (legacy contract)."""
     B, S, D = x.shape
     H, KV, hd = config.n_heads, config.kv_heads, config.head_dim
     p = layer_params
@@ -410,10 +415,20 @@ def _attention(
             # covers attention + output projection (ops/decode_attention.py)
             from prego_tpu.ops.decode_attention import decode_attention_bounded_wo
 
+            if residual is not None and _fused_layer_supported():
+                # residual add absorbed too: kernel returns the new h
+                h_next = decode_attention_bounded_wo(
+                    q[:, 0], cache_k, cache_v, start_pos + 1, p["wo"],
+                    residual=residual,
+                )  # (B, 1, D) residual.dtype — residual + attn @ wo
+                return h_next, cache_k, cache_v
             proj = decode_attention_bounded_wo(
                 q[:, 0], cache_k, cache_v, start_pos + 1, p["wo"]
             )  # (B, 1, D) f32 — already projected
-            return proj.astype(x.dtype), cache_k, cache_v
+            out = proj.astype(x.dtype)
+            if residual is not None:
+                out = residual + out
+            return out, cache_k, cache_v
         else:
             from prego_tpu.ops.decode_attention import decode_attention_bounded
 
@@ -441,11 +456,10 @@ def _attention(
             "bgrst,bgth->bsgrh", probs, v_full, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = out.reshape(B, S, H * hd)
-    return (
-        _dense(out, p["wo"]).astype(x.dtype),
-        cache_k,
-        cache_v,
-    )
+    out = _dense(out, p["wo"]).astype(x.dtype)
+    if residual is not None:
+        out = residual + out
+    return out, cache_k, cache_v
 
 
 def _flash_decode_supported(config: LlamaConfig) -> bool:
@@ -499,6 +513,40 @@ def _fused_attn_wo_supported() -> bool:
     return os.environ.get("PREGO_FUSED_ATTN_WO", "1") != "0"  # kill switch
 
 
+def _fused_layer_supported() -> bool:
+    """Gate for the layer-level fusions (norm prologue + residual-add
+    epilogue inside the decode kernels). PREGO_FUSED_LAYER=0 kill switch
+    for A/Bs; only ever engages on top of an active base fusion."""
+    import os
+
+    return os.environ.get("PREGO_FUSED_LAYER", "1") != "0"
+
+
+def _ffn_sublayer(layer: Params, h: jax.Array, config: LlamaConfig) -> jax.Array:
+    """The whole FFN sub-layer: h + ffn(rms_norm(h, ffn_norm)).  On the
+    eligible bf16 decode path the norm, both matmuls, the SwiGLU gate and
+    the residual add run as ONE Pallas program (ops/fused_ffn.py::
+    fused_ffn_block); everywhere else the op sequence is the legacy
+    rms_norm -> _feed_forward -> add with identical numerics."""
+    p = layer["feed_forward"]
+    nw = layer["ffn_norm"]
+    if (
+        "w13" in p
+        and not isinstance(p["w13"], dict)  # bf16 leaves only (not int8)
+        and h.shape[1] == 1  # decode rows
+        and _fused_ffn_supported()
+        and _fused_layer_supported()
+    ):
+        from prego_tpu.ops.fused_ffn import fused_ffn_block
+
+        B, S, D = h.shape
+        y = fused_ffn_block(
+            h.reshape(B * S, D), nw, p["w13"], p["w2"], config.norm_eps
+        )
+        return y.reshape(B, S, D)
+    return h + _feed_forward(p, rms_norm(h, nw, config.norm_eps))
+
+
 def _fold_batch_requested(batch: int) -> bool:
     """Opt-in (PREGO_FOLD_BATCH=1): run the bounded decode-attention
     kernels with the whole batch folded into ONE grid program. Measured
@@ -532,7 +580,7 @@ def forward(
     new_k = list(cache["k"])
     new_v = list(cache["v"])
     for i, layer in enumerate(params["layers"]):
-        attn_out, new_k[i], new_v[i] = _attention(
+        h, new_k[i], new_v[i] = _attention(
             layer["attention"],
             rms_norm(h, layer["attention_norm"], config.norm_eps),
             start_pos,
@@ -541,11 +589,9 @@ def forward(
             new_k[i],
             new_v[i],
             config,
+            residual=h,
         )
-        h = h + attn_out
-        h = h + _feed_forward(
-            layer["feed_forward"], rms_norm(h, layer["ffn_norm"], config.norm_eps)
-        )
+        h = _ffn_sublayer(layer, h, config)
 
     h = rms_norm(h, params["norm"], config.norm_eps)
     logits = _dense(h, params["output"])

@@ -278,6 +278,45 @@ def _decode_kernel_bounded_wo(
     ).astype(out_ref.dtype)
 
 
+def _decode_kernel_bounded_wo_res(
+    valid_ref,  # (1, 1) SMEM int32
+    q_ref,  # (1, KV, R, hd) VMEM
+    h_ref,  # (1, 1, D) VMEM — residual stream row for this batch element
+    k_hbm, v_hbm, wo_hbm,
+    out_ref,  # (1, 1, D) h.dtype — h + attn @ wo (the post-attention h)
+    k_buf, v_buf, m_ref, l_ref, acc_ref, wo_vmem, sem, wo_sem,
+    *,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+):
+    """_decode_kernel_bounded_wo with the residual add absorbed into the
+    epilogue: replicates forward()'s ``h + wo_out.astype(h.dtype)`` add
+    exactly (f32 projection cast to h.dtype, then added in h.dtype)."""
+    b = pl.program_id(0)
+    valid = valid_ref[0, 0]
+
+    @pl.when(b == 0)
+    def _():
+        dma = pltpu.make_async_copy(wo_hbm, wo_vmem, wo_sem)
+        dma.start()
+        dma.wait()
+
+    _bounded_walk(
+        b, valid, q_ref, k_hbm, v_hbm, k_buf, v_buf, m_ref, l_ref, acc_ref,
+        sem, kv_heads=kv_heads, t_block=t_block, head_dim=head_dim,
+    )
+
+    denom = jnp.maximum(l_ref[:, :, :1], 1e-30)
+    o = (acc_ref[:] / denom).astype(wo_vmem.dtype)
+    flat = o.reshape(1, -1)
+    proj = jax.lax.dot_general(
+        flat, wo_vmem[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = h_ref[0] + proj.astype(out_ref.dtype)
+
+
 def _decode_kernel_bounded_fold(
     valid_ref,  # (1, 1) SMEM int32
     q_ref,  # (B, KV, R, hd) VMEM — ALL batch rows resident (tiny)
@@ -471,6 +510,7 @@ def decode_attention_bounded_wo(
     wo: jax.Array,  # (KV*R*hd, D) bf16 — the attention output projection
     t_block: int = 256,
     interpret: bool = False,
+    residual: "jax.Array | None" = None,  # (B, 1, D) — fuse h + proj
 ) -> jax.Array:
     """Bounded flash decode with the wo projection FUSED into the kernel
     epilogue (VERDICT r2 #4 lever: one fewer op boundary per layer).  wo
@@ -481,7 +521,11 @@ def decode_attention_bounded_wo(
     two dims satisfy the Mosaic (8, 128) tiling rule for any B (a 2D
     (1, D) block over (B, D) does NOT lower when B > 1).  Caller gates on
     wo fitting VMEM beside the k/v double buffers (~8 MB at the 1B
-    serving shape; the 7B shape serves int8 and keeps the unfused path)."""
+    serving shape; the 7B shape serves int8 and keeps the unfused path).
+
+    With ``residual`` the kernel also absorbs the post-attention residual
+    add and returns ``residual + proj.astype(residual.dtype)`` in
+    residual's dtype — one fewer XLA fusion per layer again."""
     B, KV, R, hd = q.shape
     T = cache_k.shape[2]
     D = wo.shape[1]
@@ -491,6 +535,41 @@ def decode_attention_bounded_wo(
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
 
     valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    scratch_shapes = [
+        pltpu.VMEM((2, KV, t_block, hd), cache_k.dtype),
+        pltpu.VMEM((2, KV, t_block, hd), cache_v.dtype),
+        pltpu.VMEM((KV, R, 128), jnp.float32),
+        pltpu.VMEM((KV, R, 128), jnp.float32),
+        pltpu.VMEM((KV, R, hd), jnp.float32),
+        pltpu.VMEM((KV * R * hd, D), wo.dtype),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if residual is not None:
+        assert residual.shape == (B, 1, D), (residual.shape, (B, 1, D))
+        kernel = functools.partial(
+            _decode_kernel_bounded_wo_res,
+            kv_heads=KV, t_block=t_block, head_dim=hd,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, KV, R, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, 1, D), residual.dtype),
+            scratch_shapes=scratch_shapes,
+            interpret=interpret,
+        )(valid, q, residual, cache_k, cache_v, wo)
+
     kernel = functools.partial(
         _decode_kernel_bounded_wo, kv_heads=KV, t_block=t_block, head_dim=hd
     )
@@ -508,16 +587,7 @@ def decode_attention_bounded_wo(
             (1, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, KV, t_block, hd), cache_k.dtype),
-            pltpu.VMEM((2, KV, t_block, hd), cache_v.dtype),
-            pltpu.VMEM((KV, R, 128), jnp.float32),
-            pltpu.VMEM((KV, R, 128), jnp.float32),
-            pltpu.VMEM((KV, R, hd), jnp.float32),
-            pltpu.VMEM((KV * R * hd, D), wo.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(valid, q, cache_k, cache_v, wo)
 

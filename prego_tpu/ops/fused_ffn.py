@@ -45,6 +45,43 @@ def _fused_ffn_kernel(x_ref, gate_ref, up_ref, w2_ref, out_ref, acc_ref):
         out_ref[:] = acc_ref[:]
 
 
+def _fused_ffn_block_kernel(
+    h_ref,  # (M, D) — UN-normed residual stream
+    nw_ref,  # (1, D) — ffn_norm weight
+    gate_ref, up_ref, w2_ref,
+    out_ref,  # (M, D) h.dtype — h + ffn(rms_norm(h))
+    xn_ref,  # (M, D) h.dtype scratch — normed input, computed once
+    acc_ref,  # (M, D) f32 scratch
+    *,
+    eps: float,
+):
+    """fused_ffn with the layer's rms_norm PROLOGUE and residual-add
+    EPILOGUE absorbed: replicates model.rms_norm's exact dtype walk
+    (f32 square-mean/rsqrt, cast to h.dtype, THEN scale by the weight)
+    and forward()'s h + ffn.astype(h.dtype) bf16 add, so the fused layer
+    is numerically identical to the unfused op sequence."""
+    f = pl.program_id(0)
+
+    @pl.when(f == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        hf = h_ref[:].astype(jnp.float32)
+        normed = hf * jax.lax.rsqrt(
+            jnp.mean(hf * hf, axis=-1, keepdims=True) + eps
+        )
+        xn_ref[:] = normed.astype(xn_ref.dtype) * nw_ref[0]
+
+    x = xn_ref[:]
+    g = jnp.dot(x, gate_ref[:], preferred_element_type=jnp.float32)
+    u = jnp.dot(x, up_ref[:], preferred_element_type=jnp.float32)
+    a = (jax.nn.silu(g) * u).astype(x.dtype)
+    acc_ref[:] += jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(f == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = h_ref[:] + acc_ref[:].astype(out_ref.dtype)
+
+
 def fused_ffn(
     x: jax.Array,  # (M, D)
     w13: jax.Array,  # (D, 2F) fused [w1 | w3]
@@ -89,6 +126,53 @@ def fused_ffn(
         scratch_shapes=[pltpu.VMEM((M, D), jnp.float32)],
         interpret=interpret,
     )(x, w13, w13, w2)
+
+
+def fused_ffn_block(
+    h: jax.Array,  # (M, D) — un-normed residual stream
+    norm_weight: jax.Array,  # (D,)
+    w13: jax.Array,  # (D, 2F)
+    w2: jax.Array,  # (F, D)
+    eps: float,
+    f_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole decode FFN sub-layer in ONE program: returns
+    ``h + ffn(rms_norm(h, norm_weight, eps))`` as (M, D) in h's dtype.
+    Same weight-streaming schedule as fused_ffn; additionally removes the
+    norm and residual-add op boundaries (2 XLA fusions per layer)."""
+    M, D = h.shape
+    F = w2.shape[0]
+    assert w13.shape == (D, 2 * F), (w13.shape, (D, 2 * F))
+    while F % f_block != 0 and f_block > 128:
+        f_block //= 2
+    if F % f_block != 0:
+        f_block = F
+    n_f = F // f_block
+
+    kernel = functools.partial(_fused_ffn_block_kernel, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_f,),
+        in_specs=[
+            pl.BlockSpec((M, D), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, f_block), lambda f: (0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (D, f_block),
+                lambda f, n_f=n_f: (0, f + n_f),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((f_block, D), lambda f: (f, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, D), lambda f: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), h.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((M, D), h.dtype),
+            pltpu.VMEM((M, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h, norm_weight.reshape(1, -1), w13, w13, w2)
 
 
 def fused_ffn_reference(x: jax.Array, w13: jax.Array, w2: jax.Array) -> jax.Array:

@@ -22,10 +22,12 @@ import jax.numpy as jnp
 import numpy as np
 
 VARIANTS = {
-    "baseline": ("0", "0"),
-    "+ffn": ("1", "0"),
-    "+wo": ("0", "1"),
-    "+both": ("1", "1"),
+    # (PREGO_FUSED_FFN, PREGO_FUSED_ATTN_WO, PREGO_FUSED_LAYER)
+    "baseline": ("0", "0", "0"),
+    "+ffn": ("1", "0", "0"),
+    "+wo": ("0", "1", "0"),
+    "+both": ("1", "1", "0"),
+    "+layer": ("1", "1", "1"),  # norm prologue + residual epilogues too
 }
 
 
@@ -56,7 +58,7 @@ def main():
     ap.add_argument("--gen", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--variants", default="baseline,+ffn,+wo,+both")
+    ap.add_argument("--variants", default="baseline,+ffn,+wo,+both,+layer")
     args = ap.parse_args()
 
     from prego_tpu.models.llama import ByteTokenizer, LlamaConfig, init_params
@@ -75,9 +77,10 @@ def main():
 
     outs = {}
     for name in args.variants.split(","):
-        ffn, wo = VARIANTS[name]
+        ffn, wo, lyr = VARIANTS[name]
         os.environ["PREGO_FUSED_FFN"] = ffn
         os.environ["PREGO_FUSED_ATTN_WO"] = wo
+        os.environ["PREGO_FUSED_LAYER"] = lyr
         fn = make_runner(cfg, params, rope)
         t0 = time.perf_counter()
         try:

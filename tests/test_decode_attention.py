@@ -223,3 +223,15 @@ def test_bounded_wo_fusion_matches_unfused(valid):
     np.testing.assert_allclose(
         np.asarray(got)[:, 0], np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+    # residual-epilogue variant: returns h + proj in h's dtype
+    h = jnp.asarray(rng.normal(0, 1, (B, 1, D)).astype(np.float32))
+    got_res = decode_attention_bounded_wo(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
+        jnp.asarray(wo), t_block=256, interpret=True, residual=h,
+    )
+    assert got_res.shape == (B, 1, D) and got_res.dtype == h.dtype
+    np.testing.assert_allclose(
+        np.asarray(got_res), np.asarray(h + got.astype(h.dtype)),
+        rtol=2e-5, atol=2e-5,
+    )

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from prego_tpu.ops.fused_ffn import fused_ffn, fused_ffn_reference
+from prego_tpu.ops.fused_ffn import fused_ffn, fused_ffn_block, fused_ffn_reference
 
 
 @pytest.mark.parametrize("M,D,F,fb", [
@@ -22,6 +22,52 @@ def test_fused_ffn_matches_reference(M, D, F, fb):
     got = fused_ffn(x, w13, w2, f_block=fb, interpret=True)
     want = fused_ffn_reference(x, w13, w2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("M,D,F,fb", [
+    (8, 256, 512, 128),
+    (1, 128, 256, 128),
+    (4, 256, 384, 512),
+])
+def test_fused_ffn_block_matches_unfused_sublayer(M, D, F, fb):
+    """The norm-prologue + residual-epilogue kernel must reproduce the
+    exact unfused sub-layer sequence h + ffn(rms_norm(h))."""
+    from prego_tpu.models.llama.model import rms_norm
+
+    eps = 1e-5
+    rng = np.random.default_rng(M * 7 + F)
+    h = jnp.asarray(rng.normal(0, 1, (M, D)).astype(np.float32))
+    nw = jnp.asarray(rng.normal(1, 0.1, (D,)).astype(np.float32))
+    w13 = jnp.asarray(rng.normal(0, 0.05, (D, 2 * F)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(0, 0.05, (F, D)).astype(np.float32))
+
+    got = fused_ffn_block(h, nw, w13, w2, eps, f_block=fb, interpret=True)
+    xn = rms_norm(h, nw, eps)
+    want = h + fused_ffn_reference(xn, w13, w2).astype(h.dtype)
+    assert got.dtype == h.dtype
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_ffn_sublayer_dispatch_matches_legacy():
+    """model._ffn_sublayer (CPU: XLA fallback path) equals the legacy
+    two-op sequence for both fused and unfused param layouts."""
+    from prego_tpu.models.llama import init_params, tiny_test_config
+    from prego_tpu.models.llama.model import (
+        _feed_forward, _ffn_sublayer, fuse_projections, rms_norm,
+    )
+
+    cfg = tiny_test_config()
+    raw = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    h = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (2, 1, cfg.dim)).astype(np.float32)
+    )
+    for params in (raw, fuse_projections(raw)):
+        layer = params["layers"][0]
+        want = h + _feed_forward(
+            layer["feed_forward"], rms_norm(h, layer["ffn_norm"], cfg.norm_eps)
+        )
+        got = _ffn_sublayer(layer, h, cfg)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
 def test_decode_equality_with_and_without_fused_ffn(monkeypatch):

@@ -98,6 +98,9 @@ def test_decode_attention_specs(checked_pallas, rng):
         decode_attention_bounded(q, k, v, valid, t_block=256, interpret=True,
                                  fold_batch=fold)
     decode_attention_bounded_wo(q, k, v, valid, wo, t_block=256, interpret=True)
+    h = jnp.asarray(rng.normal(0, 1, (B, 1, D)).astype(np.float32))
+    decode_attention_bounded_wo(q, k, v, valid, wo, t_block=256, interpret=True,
+                                residual=h)
 
     kq = jnp.asarray(rng.integers(-127, 127, (B, KV, T, hd)).astype(np.int8))
     ks = jnp.asarray(rng.uniform(0.01, 0.02, (B, KV, T)).astype(np.float32))
@@ -107,13 +110,15 @@ def test_decode_attention_specs(checked_pallas, rng):
 
 
 def test_fused_ffn_specs(checked_pallas, rng):
-    from prego_tpu.ops.fused_ffn import fused_ffn
+    from prego_tpu.ops.fused_ffn import fused_ffn, fused_ffn_block
 
     for M in (1, 4, 8):  # decode batches incl. the anticipation bsz=4
         x = jnp.asarray(rng.normal(0, 1, (M, 256)).astype(np.float32))
+        nw = jnp.asarray(rng.normal(1, 0.1, (256,)).astype(np.float32))
         w13 = jnp.asarray(rng.normal(0, 0.05, (256, 2 * 512)).astype(np.float32))
         w2 = jnp.asarray(rng.normal(0, 0.05, (512, 256)).astype(np.float32))
         fused_ffn(x, w13, w2, f_block=256, interpret=True)
+        fused_ffn_block(x, nw, w13, w2, 1e-5, f_block=256, interpret=True)
 
 
 def test_quant_matmul_specs(checked_pallas, rng):
