@@ -371,6 +371,37 @@ def _attention(
     kv_quant = isinstance(cache_k, dict)
     k_upd = jnp.swapaxes(xk, 1, 2)
     v_upd = jnp.swapaxes(xv, 1, 2)
+    if (
+        not kv_quant
+        and S == 1
+        and use_flash_decode
+        and _flash_decode_supported(config)
+        and residual is not None
+        and not isinstance(p["wo"], dict)
+        and p["wo"].size <= 4_500_000
+        and _fused_attn_wo_supported()
+        and _fused_layer_supported()
+        and _fused_cache_upd_supported()
+    ):
+        # whole attention tail in one program: cache write + bounded walk
+        # + wo + residual (ops/decode_attention.py); the XLA
+        # dynamic_update_slice boundaries disappear, caches are donated
+        from prego_tpu.ops.decode_attention import (
+            decode_attention_bounded_wo_res_upd,
+        )
+
+        q = xq.reshape(B, S, KV, H // KV, hd)
+        h_next, cache_k, cache_v = decode_attention_bounded_wo_res_upd(
+            q[:, 0],
+            residual,
+            k_upd.astype(cache_k.dtype),
+            v_upd.astype(cache_v.dtype),
+            cache_k,
+            cache_v,
+            start_pos,
+            p["wo"],
+        )
+        return h_next, cache_k, cache_v
     if kv_quant:
         kq, ks = _kv_quantize(k_upd)
         vq, vs = _kv_quantize(v_upd)
@@ -511,6 +542,14 @@ def _fused_attn_wo_supported() -> bool:
     import os
 
     return os.environ.get("PREGO_FUSED_ATTN_WO", "1") != "0"  # kill switch
+
+
+def _fused_cache_upd_supported() -> bool:
+    """Gate for the cache-write-in-kernel attention tail (opt-in until
+    measured on chip: PREGO_FUSED_CACHE_UPD=1)."""
+    import os
+
+    return os.environ.get("PREGO_FUSED_CACHE_UPD", "0") == "1"
 
 
 def _fused_layer_supported() -> bool:

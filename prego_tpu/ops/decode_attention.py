@@ -317,6 +317,71 @@ def _decode_kernel_bounded_wo_res(
     out_ref[0] = h_ref[0] + proj.astype(out_ref.dtype)
 
 
+def _decode_kernel_bounded_wo_res_upd(
+    pos_ref,  # (1, 1) SMEM int32 — write position; attends to <= pos
+    q_ref,  # (1, KV, R, hd) VMEM
+    h_ref,  # (1, 1, D) VMEM — residual stream row
+    knew_ref,  # (1, KV, 1, hd) VMEM — this token's post-rope key
+    vnew_ref,  # (1, KV, 1, hd) VMEM
+    wo_hbm,  # (KV*R*hd, D) ANY
+    ck_in, cv_in,  # (B, KV, T, hd) ANY — aliased with the outputs
+    out_ref,  # (1, 1, D) h.dtype — h + attn @ wo
+    ck_out,  # (B, KV, T, hd) ANY — the updated cache (same buffer as ck_in)
+    cv_out,
+    k_buf, v_buf, m_ref, l_ref, acc_ref, wo_vmem, sem, wo_sem, upd_sem,
+    *,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+):
+    """The whole attention sub-layer tail in ONE program: write this
+    token's k/v into the cache (the XLA dynamic_update_slice boundaries
+    absorbed — 2 per layer), run the bounded flash walk over the updated
+    cache, project through wo and add the residual.  The cache operands
+    are input_output_aliased, so the write is in-place exactly like the
+    donated while_loop carry; the k/v block walk starts only after the
+    write DMA completes, so the final block reads the new token."""
+    b = pl.program_id(0)
+    pos = pos_ref[0, 0]
+    valid = pos + 1
+
+    @pl.when(b == 0)
+    def _():
+        dma = pltpu.make_async_copy(wo_hbm, wo_vmem, wo_sem)
+        dma.start()
+        dma.wait()
+
+    # cache write: VMEM (1, KV, 1, hd) -> HBM [b, :, pos:pos+1, :]
+    kw = pltpu.make_async_copy(
+        knew_ref.at[0, :, pl.ds(0, 1), :],
+        ck_out.at[b, :, pl.ds(pos, 1), :],
+        upd_sem.at[0],
+    )
+    vw = pltpu.make_async_copy(
+        vnew_ref.at[0, :, pl.ds(0, 1), :],
+        cv_out.at[b, :, pl.ds(pos, 1), :],
+        upd_sem.at[1],
+    )
+    kw.start()
+    vw.start()
+    kw.wait()
+    vw.wait()
+
+    _bounded_walk(
+        b, valid, q_ref, ck_out, cv_out, k_buf, v_buf, m_ref, l_ref, acc_ref,
+        sem, kv_heads=kv_heads, t_block=t_block, head_dim=head_dim,
+    )
+
+    denom = jnp.maximum(l_ref[:, :, :1], 1e-30)
+    o = (acc_ref[:] / denom).astype(wo_vmem.dtype)
+    flat = o.reshape(1, -1)
+    proj = jax.lax.dot_general(
+        flat, wo_vmem[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = h_ref[0] + proj.astype(out_ref.dtype)
+
+
 def _decode_kernel_bounded_fold(
     valid_ref,  # (1, 1) SMEM int32
     q_ref,  # (B, KV, R, hd) VMEM — ALL batch rows resident (tiny)
@@ -590,6 +655,77 @@ def decode_attention_bounded_wo(
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(valid, q, cache_k, cache_v, wo)
+
+
+def decode_attention_bounded_wo_res_upd(
+    q: jax.Array,  # (B, KV, R, hd)
+    residual: jax.Array,  # (B, 1, D)
+    k_new: jax.Array,  # (B, KV, 1, hd) — this token's post-rope key
+    v_new: jax.Array,  # (B, KV, 1, hd)
+    cache_k: jax.Array,  # (B, KV, T, hd) — will be DONATED (aliased)
+    cache_v: jax.Array,
+    pos: jax.Array,  # scalar int32 write position; attends to <= pos
+    wo: jax.Array,  # (KV*R*hd, D)
+    t_block: int = 256,
+    interpret: bool = False,
+):
+    """Attention sub-layer tail as one program: cache write + bounded
+    flash walk + wo projection + residual add.  Returns
+    ``(residual + attn @ wo, cache_k', cache_v')`` with the caches
+    updated IN PLACE via input_output_aliasing (callers must treat the
+    passed caches as consumed, like any donated buffer)."""
+    B, KV, R, hd = q.shape
+    T = cache_k.shape[2]
+    D = wo.shape[1]
+    assert wo.shape[0] == KV * R * hd, (wo.shape, KV * R * hd)
+    assert residual.shape == (B, 1, D), (residual.shape, (B, 1, D))
+    assert k_new.shape == (B, KV, 1, hd), k_new.shape
+    t_block = min(t_block, T)
+    if T % t_block != 0:
+        raise ValueError(f"T={T} not a multiple of t_block={t_block}")
+
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1, 1)
+    kernel = functools.partial(
+        _decode_kernel_bounded_wo_res_upd,
+        kv_heads=KV, t_block=t_block, head_dim=hd,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, KV, R, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, 1, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, KV, 1, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # wo
+            pl.BlockSpec(memory_space=pl.ANY),  # cache_k (aliased -> out 1)
+            pl.BlockSpec(memory_space=pl.ANY),  # cache_v (aliased -> out 2)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, D), residual.dtype),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ],
+        input_output_aliases={6: 1, 7: 2},
+        scratch_shapes=[
+            pltpu.VMEM((2, KV, t_block, hd), cache_k.dtype),
+            pltpu.VMEM((2, KV, t_block, hd), cache_v.dtype),
+            pltpu.VMEM((KV, R, 128), jnp.float32),
+            pltpu.VMEM((KV, R, 128), jnp.float32),
+            pltpu.VMEM((KV, R, hd), jnp.float32),
+            pltpu.VMEM((KV * R * hd, D), wo.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(pos_arr, q, residual, k_new, v_new, wo, cache_k, cache_v)
 
 
 def _q8_head_update(

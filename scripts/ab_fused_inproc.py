@@ -22,12 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 VARIANTS = {
-    # (PREGO_FUSED_FFN, PREGO_FUSED_ATTN_WO, PREGO_FUSED_LAYER)
-    "baseline": ("0", "0", "0"),
-    "+ffn": ("1", "0", "0"),
-    "+wo": ("0", "1", "0"),
-    "+both": ("1", "1", "0"),
-    "+layer": ("1", "1", "1"),  # norm prologue + residual epilogues too
+    # (PREGO_FUSED_FFN, PREGO_FUSED_ATTN_WO, PREGO_FUSED_LAYER,
+    #  PREGO_FUSED_CACHE_UPD)
+    "baseline": ("0", "0", "0", "0"),
+    "+ffn": ("1", "0", "0", "0"),
+    "+wo": ("0", "1", "0", "0"),
+    "+both": ("1", "1", "0", "0"),
+    "+layer": ("1", "1", "1", "0"),  # norm prologue + residual epilogues
+    "+cacheupd": ("1", "1", "1", "1"),  # cache write in-kernel too
 }
 
 
@@ -58,7 +60,7 @@ def main():
     ap.add_argument("--gen", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--variants", default="baseline,+ffn,+wo,+both,+layer")
+    ap.add_argument("--variants", default="baseline,+ffn,+wo,+both,+layer,+cacheupd")
     args = ap.parse_args()
 
     from prego_tpu.models.llama import ByteTokenizer, LlamaConfig, init_params
@@ -77,10 +79,11 @@ def main():
 
     outs = {}
     for name in args.variants.split(","):
-        ffn, wo, lyr = VARIANTS[name]
+        ffn, wo, lyr, upd = VARIANTS[name]
         os.environ["PREGO_FUSED_FFN"] = ffn
         os.environ["PREGO_FUSED_ATTN_WO"] = wo
         os.environ["PREGO_FUSED_LAYER"] = lyr
+        os.environ["PREGO_FUSED_CACHE_UPD"] = upd
         fn = make_runner(cfg, params, rope)
         t0 = time.perf_counter()
         try:

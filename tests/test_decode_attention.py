@@ -235,3 +235,39 @@ def test_bounded_wo_fusion_matches_unfused(valid):
         np.asarray(got_res), np.asarray(h + got.astype(h.dtype)),
         rtol=2e-5, atol=2e-5,
     )
+
+
+@pytest.mark.parametrize("pos", [0, 136, 511])
+def test_bounded_wo_res_upd_matches_update_then_attend(pos):
+    """The cache-write-fused attention tail must equal: XLA
+    dynamic_update_slice into the cache, bounded attention over it with
+    valid = pos+1, wo projection, residual add — and must return caches
+    identical to the dus result everywhere."""
+    from prego_tpu.ops.decode_attention import (
+        decode_attention_bounded_wo,
+        decode_attention_bounded_wo_res_upd,
+    )
+
+    rng = np.random.default_rng(pos + 17)
+    B, KV, R, hd, T, D = 3, 4, 2, 128, 512, 256
+    q = jnp.asarray(rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32))
+    k0 = jnp.asarray(rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32))
+    kn = jnp.asarray(rng.normal(0, 1, (B, KV, 1, hd)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(0, 1, (B, KV, 1, hd)).astype(np.float32))
+    wo = jnp.asarray(rng.normal(0, 0.05, (KV * R * hd, D)).astype(np.float32))
+    h = jnp.asarray(rng.normal(0, 1, (B, 1, D)).astype(np.float32))
+
+    k_ref = jax.lax.dynamic_update_slice(k0, kn, (0, 0, pos, 0))
+    v_ref = jax.lax.dynamic_update_slice(v0, vn, (0, 0, pos, 0))
+    want = decode_attention_bounded_wo(
+        q, k_ref, v_ref, jnp.int32(pos + 1), wo,
+        t_block=256, interpret=True, residual=h,
+    )
+
+    got, ck, cv = decode_attention_bounded_wo_res_upd(
+        q, h, kn, vn, k0, v0, jnp.int32(pos), wo, t_block=256, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ck), np.asarray(k_ref))
+    np.testing.assert_array_equal(np.asarray(cv), np.asarray(v_ref))

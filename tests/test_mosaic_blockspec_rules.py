@@ -101,6 +101,12 @@ def test_decode_attention_specs(checked_pallas, rng):
     h = jnp.asarray(rng.normal(0, 1, (B, 1, D)).astype(np.float32))
     decode_attention_bounded_wo(q, k, v, valid, wo, t_block=256, interpret=True,
                                 residual=h)
+    from prego_tpu.ops.decode_attention import decode_attention_bounded_wo_res_upd
+
+    kn = jnp.asarray(rng.normal(0, 1, (B, KV, 1, hd)).astype(np.float32))
+    vn = jnp.asarray(rng.normal(0, 1, (B, KV, 1, hd)).astype(np.float32))
+    decode_attention_bounded_wo_res_upd(q, h, kn, vn, k, v, jnp.int32(300), wo,
+                                        t_block=256, interpret=True)
 
     kq = jnp.asarray(rng.integers(-127, 127, (B, KV, T, hd)).astype(np.int8))
     ks = jnp.asarray(rng.uniform(0.01, 0.02, (B, KV, T)).astype(np.float32))
