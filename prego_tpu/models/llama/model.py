@@ -544,6 +544,19 @@ def _fused_attn_wo_supported() -> bool:
     return os.environ.get("PREGO_FUSED_ATTN_WO", "1") != "0"  # kill switch
 
 
+def _fused_ffn_q8_supported() -> bool:
+    """Gate for the int8 fused FFN sub-layer (opt-in until measured on
+    chip: PREGO_FUSED_FFN_Q8=1). TPU-only like the bf16 kernel."""
+    import os
+
+    import jax as _jax
+
+    return (
+        os.environ.get("PREGO_FUSED_FFN_Q8", "0") == "1"
+        and _jax.default_backend() == "tpu"
+    )
+
+
 def _fused_cache_upd_supported() -> bool:
     """Gate for the cache-write-in-kernel attention tail (opt-in until
     measured on chip: PREGO_FUSED_CACHE_UPD=1)."""
@@ -581,6 +594,26 @@ def _ffn_sublayer(layer: Params, h: jax.Array, config: LlamaConfig) -> jax.Array
         B, S, D = h.shape
         y = fused_ffn_block(
             h.reshape(B * S, D), nw, p["w13"], p["w2"], config.norm_eps
+        )
+        return y.reshape(B, S, D)
+    if (
+        "w13" in p
+        and isinstance(p["w13"], dict)
+        and "q" in p["w13"]
+        and "act" not in p["w13"]  # weight-only int8 (not activation-quant)
+        and h.shape[1] == 1
+        and _fused_ffn_q8_supported()
+        and _fused_layer_supported()
+    ):
+        # the 7B single-chip serving path: whole int8 FFN sub-layer in one
+        # program (ops/fused_ffn.py::fused_ffn_block_q8)
+        from prego_tpu.ops.fused_ffn import fused_ffn_block_q8
+
+        B, S, D = h.shape
+        y = fused_ffn_block_q8(
+            h.reshape(B * S, D), nw,
+            p["w13"]["q"], p["w13"]["s"], p["w2"]["q"], p["w2"]["s"],
+            config.norm_eps,
         )
         return y.reshape(B, S, D)
     return h + _feed_forward(p, rms_norm(h, nw, config.norm_eps))

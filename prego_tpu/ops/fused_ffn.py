@@ -175,6 +175,114 @@ def fused_ffn_block(
     )(h, norm_weight.reshape(1, -1), w13, w13, w2)
 
 
+def _fused_ffn_block_q8_kernel(
+    h_ref,  # (M, D) — UN-normed residual stream
+    nw_ref,  # (1, D) — ffn_norm weight
+    gq_ref,  # (D, fb) int8 — gate tile of w13
+    uq_ref,  # (D, fb) int8 — up tile of w13
+    sg_ref,  # (1, fb) f32 — gate columns' scales (block-mapped)
+    su_ref,  # (1, fb) f32 — up columns' scales (block-mapped)
+    w2q_ref,  # (fb, D) int8
+    s2_ref,  # (1, D) f32 — w2 scales
+    out_ref,  # (M, D) h.dtype — h + ffn(rms_norm(h))
+    xn_ref,  # (M, D) h.dtype scratch
+    acc_ref,  # (M, D) f32 scratch
+    *,
+    eps: float,
+):
+    """Weight-only-int8 fused FFN sub-layer.  Dequant follows
+    ops/quant.py::int8_matmul exactly: the int8 tile is CAST to bf16 for
+    the MXU and the per-output-channel scale is applied AFTER the dot
+    (w13 scales per f-tile; w2's output-channel scale once on the final
+    accumulator, equivalent to the unfused full-K matmul)."""
+    f = pl.program_id(0)
+
+    @pl.when(f == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        hf = h_ref[:].astype(jnp.float32)
+        normed = hf * jax.lax.rsqrt(
+            jnp.mean(hf * hf, axis=-1, keepdims=True) + eps
+        )
+        xn_ref[:] = normed.astype(xn_ref.dtype) * nw_ref[0]
+
+    x = xn_ref[:].astype(jnp.bfloat16)
+    g = jnp.dot(x, gq_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) * sg_ref[0]
+    u = jnp.dot(x, uq_ref[:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) * su_ref[0]
+    a = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(a, w2q_ref[:].astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(f == pl.num_programs(0) - 1)
+    def _():
+        y = acc_ref[:] * s2_ref[0]
+        out_ref[:] = h_ref[:] + y.astype(out_ref.dtype)
+
+
+def fused_ffn_block_q8(
+    h: jax.Array,  # (M, D) — un-normed residual stream
+    norm_weight: jax.Array,  # (D,)
+    w13q: jax.Array,  # (D, 2F) int8
+    w13s: jax.Array,  # (1, 2F) f32
+    w2q: jax.Array,  # (F, D) int8
+    w2s: jax.Array,  # (1, D) f32
+    eps: float,
+    f_block: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Whole int8 decode FFN sub-layer in ONE program (the 7B serving
+    shape: 32 layers x [w13 int8_matmul, silu*up, w2 int8_matmul] becomes
+    32 programs).  Returns h + ffn(rms_norm(h)) in h's dtype; weight HBM
+    bytes identical to the unfused int8_matmul path."""
+    M, D = h.shape
+    F = w2q.shape[0]
+    assert w13q.shape == (D, 2 * F), (w13q.shape, (D, 2 * F))
+    assert w13s.shape == (1, 2 * F) and w2s.shape == (1, D)
+    # keep one grid cell's three int8 windows + their bf16 casts well
+    # under scoped VMEM (see fused_ffn's margin note; int8+cast ~ 3 bytes
+    # per element, 3 windows, double-buffered)
+    while D * f_block * 18 > 12_000_000 and f_block > 128:
+        f_block //= 2
+    while F % f_block != 0 and f_block > 128:
+        f_block //= 2
+    if F % f_block != 0:
+        f_block = F
+    n_f = F // f_block
+
+    kernel = functools.partial(_fused_ffn_block_q8_kernel, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_f,),
+        in_specs=[
+            pl.BlockSpec((M, D), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, f_block), lambda f: (0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (D, f_block),
+                lambda f, n_f=n_f: (0, f + n_f),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, f_block), lambda f: (0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, f_block),
+                lambda f, n_f=n_f: (0, f + n_f),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((f_block, D), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, D), lambda f: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, D), h.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((M, D), h.dtype),
+            pltpu.VMEM((M, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(h, norm_weight.reshape(1, -1), w13q, w13q, w13s, w13s, w2q, w2s)
+
+
 def fused_ffn_reference(x: jax.Array, w13: jax.Array, w2: jax.Array) -> jax.Array:
     F = w2.shape[0]
     g13 = jnp.dot(x, w13, preferred_element_type=jnp.float32)

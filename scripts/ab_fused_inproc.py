@@ -61,6 +61,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--variants", default="baseline,+ffn,+wo,+both,+layer,+cacheupd")
+    ap.add_argument("--compile_retries", type=int, default=2)
     args = ap.parse_args()
 
     from prego_tpu.models.llama import ByteTokenizer, LlamaConfig, init_params
@@ -84,14 +85,25 @@ def main():
         os.environ["PREGO_FUSED_ATTN_WO"] = wo
         os.environ["PREGO_FUSED_LAYER"] = lyr
         os.environ["PREGO_FUSED_CACHE_UPD"] = upd
-        fn = make_runner(cfg, params, rope)
-        t0 = time.perf_counter()
-        try:
-            out = fn(tokens, args.gen)
-            float(sync(out))
-        except Exception as e:  # noqa: BLE001 — report and continue A/B
-            print(f"[{name:9s}] FAILED: {type(e).__name__}: {str(e)[:150]}",
-                  flush=True)
+        # the tunnel's remote-compile endpoint drops long compiles in bad
+        # weather (broken pipe after tens of minutes) — retry per variant
+        out = None
+        for attempt in range(args.compile_retries):
+            fn = make_runner(cfg, params, rope)
+            t0 = time.perf_counter()
+            try:
+                out = fn(tokens, args.gen)
+                float(sync(out))
+                break
+            except Exception as e:  # noqa: BLE001 — report and retry/continue
+                print(
+                    f"[{name:9s}] attempt {attempt + 1} FAILED after "
+                    f"{time.perf_counter()-t0:.0f}s: {type(e).__name__}: "
+                    f"{str(e)[:120]}",
+                    flush=True,
+                )
+                out = None
+        if out is None:
             continue
         print(f"[{name:9s}] compiled+first {time.perf_counter()-t0:.1f}s", flush=True)
         t0 = time.perf_counter()

@@ -48,6 +48,39 @@ def test_fused_ffn_block_matches_unfused_sublayer(M, D, F, fb):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("M,D,F,fb", [
+    (8, 256, 512, 128),
+    (1, 128, 256, 128),
+])
+def test_fused_ffn_block_q8_matches_unfused_int8_path(M, D, F, fb):
+    """The int8 fused sub-layer must reproduce the unfused sequence:
+    rms_norm -> int8_matmul(w13) -> silu*up -> int8_matmul(w2) -> +h,
+    with the same dequant convention (cast-then-post-scale)."""
+    from prego_tpu.models.llama.model import rms_norm
+    from prego_tpu.ops.fused_ffn import fused_ffn_block_q8
+    from prego_tpu.ops.quant import int8_matmul_reference, quantize_weight
+
+    eps = 1e-5
+    rng = np.random.default_rng(M * 13 + F)
+    h = jnp.asarray(rng.normal(0, 1, (M, D)).astype(np.float32))
+    nw = jnp.asarray(rng.normal(1, 0.1, (D,)).astype(np.float32))
+    w13 = jnp.asarray(rng.normal(0, 0.05, (D, 2 * F)).astype(np.float32))
+    w2 = jnp.asarray(rng.normal(0, 0.05, (F, D)).astype(np.float32))
+    w13q, w13s = quantize_weight(w13)
+    w2q, w2s = quantize_weight(w2)
+
+    got = fused_ffn_block_q8(
+        h, nw, w13q, w13s, w2q, w2s, eps, f_block=fb, interpret=True
+    )
+    xn = rms_norm(h, nw, eps)
+    g13 = int8_matmul_reference(xn, w13q, w13s)
+    gate, up = g13[..., :F], g13[..., F:]
+    act = (jax.nn.silu(gate) * up).astype(xn.dtype)
+    want = h + int8_matmul_reference(act, w2q, w2s).astype(h.dtype)
+    assert got.dtype == h.dtype
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-3)
+
+
 def test_ffn_sublayer_dispatch_matches_legacy():
     """model._ffn_sublayer (CPU: XLA fallback path) equals the legacy
     two-op sequence for both fused and unfused param layouts."""
