@@ -121,7 +121,16 @@ def _fence_compile_failure(build, backend: str, logger):
             name = type(e).__name__
             msg = str(e)
             is_compile_failure = "XlaRuntimeError" in name or any(
-                s in msg for s in ("compile", "Compile", "Mosaic", "INTERNAL")
+                s in msg
+                for s in (
+                    "compile",
+                    "Compile",
+                    "Mosaic",
+                    "INTERNAL",
+                    # pallas_call raises this at TRACE time on CPU (no
+                    # interpret=True in the production path) — same remedy
+                    "Only interpret mode is supported",
+                )
             )
             if not is_compile_failure:
                 raise

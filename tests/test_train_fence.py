@@ -78,6 +78,41 @@ def test_fence_falls_back_to_scan(caplog):
     assert model.calls.count("pallas_train") == n_pallas
 
 
+def test_fence_catches_cpu_interpret_error(caplog):
+    """pallas_call raises ValueError('Only interpret mode is supported on
+    CPU backend.') at TRACE time when the production (non-interpret)
+    kernel path runs on CPU — the fence must treat it as a compile-class
+    failure (it has no compile/Mosaic/INTERNAL marker and a plain
+    ValueError name)."""
+
+    class CpuModel(StubModel):
+        def forward_train(self, params, rgb, flow, rng, flow_is_zero, backend):
+            self.calls.append(backend)
+            if backend == "pallas_train":
+                raise ValueError("Only interpret mode is supported on CPU backend.")
+            return jnp.einsum("btf,fk->bk", rgb, params["w"]) / rgb.shape[1]
+
+    import optax
+
+    model = CpuModel("")
+    optimizer = optax.sgd(0.1)
+    params = {"w": jnp.ones((4, 3), jnp.float32)}
+    opt_state = optimizer.init(params)
+    step = make_train_step(
+        model, optimizer, flow_is_zero=True, gru_backend="pallas_train",
+        logger=logging.getLogger("fence-test"),
+    )
+    with caplog.at_level(logging.WARNING, logger="fence-test"):
+        _, _, loss = step(
+            params, opt_state,
+            jnp.ones((2, 5, 4)), jnp.zeros((2, 5, 4)),
+            jax.nn.one_hot(jnp.array([1, 2]), 3), jnp.ones((2,), bool),
+            jax.random.PRNGKey(0),
+        )
+    assert np.isfinite(float(loss))
+    assert model.calls[-1] == "scan"
+
+
 def test_fence_reraises_unrelated_errors():
     """Only compile-shaped failures are fenced; a genuine error (wrong
     name, no compile markers) must propagate."""
