@@ -339,17 +339,48 @@ def _attention(
     config: LlamaConfig,
     use_flash_decode: bool = True,
     residual: Optional[jax.Array] = None,  # (B, S, D) pre-norm stream
+    norm_weight: Optional[jax.Array] = None,  # (D,) attention_norm weight
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """With ``residual`` the returned activation is the POST-residual
     stream ``residual + attn_out`` (the add fused into the wo-projection
     kernel epilogue on the eligible decode path, plain XLA elsewhere);
-    without it, the bare attention output (legacy contract)."""
+    without it, the bare attention output (legacy contract).
+
+    With ``norm_weight``, ``x`` is the PRE-norm residual stream and the
+    attention rms_norm happens here — fused into the int8 qkv projection
+    kernel on the eligible decode path (ops/fused_dense.py), plain
+    rms_norm otherwise."""
     B, S, D = x.shape
     H, KV, hd = config.n_heads, config.kv_heads, config.head_dim
     p = layer_params
 
-    if "wqkv" in p:  # fused serving layout (fuse_projections)
-        xqkv = _dense(x, p["wqkv"]).astype(x.dtype)
+    xqkv = None
+    if norm_weight is not None:
+        if (
+            S == 1
+            and "wqkv" in p
+            and isinstance(p["wqkv"], dict)
+            and "q" in p["wqkv"]
+            and "act" not in p["wqkv"]  # weight-only int8
+            and _fused_dense_q8_supported()
+        ):
+            # rms_norm prologue fused into the int8 qkv projection
+            from prego_tpu.ops.fused_dense import fused_dense_q8
+
+            xqkv = fused_dense_q8(
+                x.reshape(B * S, D),
+                p["wqkv"]["q"],
+                p["wqkv"]["s"],
+                norm_weight=norm_weight,
+                eps=config.norm_eps,
+                out_dtype=x.dtype,
+            ).reshape(B, S, -1)
+        else:
+            x = rms_norm(x, norm_weight, config.norm_eps)
+
+    if xqkv is not None or "wqkv" in p:  # fused serving layout
+        if xqkv is None:
+            xqkv = _dense(x, p["wqkv"]).astype(x.dtype)
         xq = xqkv[..., : H * hd]
         xk = xqkv[..., H * hd : (H + KV) * hd]
         xv = xqkv[..., (H + KV) * hd :]
@@ -487,6 +518,25 @@ def _attention(
             "bgrst,bgth->bsgrh", probs, v_full, preferred_element_type=jnp.float32
         ).astype(x.dtype)
         out = out.reshape(B, S, H * hd)
+    if (
+        S == 1
+        and residual is not None
+        and isinstance(p["wo"], dict)
+        and "q" in p["wo"]
+        and "act" not in p["wo"]  # weight-only int8
+        and _fused_dense_q8_supported()
+    ):
+        # int8 wo projection + residual add in one program
+        # (ops/fused_dense.py) — the 7B serving path's attention tail
+        from prego_tpu.ops.fused_dense import fused_dense_q8
+
+        y = fused_dense_q8(
+            out.reshape(B, H * hd),
+            p["wo"]["q"],
+            p["wo"]["s"],
+            residual=residual.reshape(B, D),
+        )
+        return y.reshape(B, 1, D), cache_k, cache_v
     out = _dense(out, p["wo"]).astype(x.dtype)
     if residual is not None:
         out = residual + out
@@ -542,6 +592,20 @@ def _fused_attn_wo_supported() -> bool:
     import os
 
     return os.environ.get("PREGO_FUSED_ATTN_WO", "1") != "0"  # kill switch
+
+
+def _fused_dense_q8_supported() -> bool:
+    """Gate for the int8 fused dense boundaries — norm+qkv, wo+residual,
+    final-norm+lm-head (opt-in until measured on chip:
+    PREGO_FUSED_DENSE_Q8=1). TPU-only like the other decode kernels."""
+    import os
+
+    import jax as _jax
+
+    return (
+        os.environ.get("PREGO_FUSED_DENSE_Q8", "0") == "1"
+        and _jax.default_backend() == "tpu"
+    )
 
 
 def _fused_ffn_q8_supported() -> bool:
@@ -654,7 +718,7 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         h, new_k[i], new_v[i] = _attention(
             layer["attention"],
-            rms_norm(h, layer["attention_norm"], config.norm_eps),
+            h,  # pre-norm stream; _attention applies (or fuses) the norm
             start_pos,
             cos,
             sin,
@@ -662,9 +726,30 @@ def forward(
             new_v[i],
             config,
             residual=h,
+            norm_weight=layer["attention_norm"],
         )
         h = _ffn_sublayer(layer, h, config)
 
+    out_w = params["output"]
+    if (
+        isinstance(out_w, dict)
+        and "q" in out_w
+        and "act" not in out_w  # weight-only int8
+        and h.shape[0] * h.shape[1] <= 64  # decode rows (prefill M too big)
+        and _fused_dense_q8_supported()
+    ):
+        # final rms_norm fused into the int8 lm-head projection
+        from prego_tpu.ops.fused_dense import fused_dense_q8
+
+        B, S, D = h.shape
+        logits = fused_dense_q8(
+            h.reshape(B * S, D),
+            out_w["q"],
+            out_w["s"],
+            norm_weight=params["norm"],
+            eps=config.norm_eps,
+        ).reshape(B, S, -1)
+        return logits, {"k": new_k, "v": new_v}
     h = rms_norm(h, params["norm"], config.norm_eps)
     logits = _dense(h, params["output"])
     return logits, {"k": new_k, "v": new_v}

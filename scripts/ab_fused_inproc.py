@@ -21,15 +21,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_GATES = (
+    "PREGO_FUSED_FFN",
+    "PREGO_FUSED_ATTN_WO",
+    "PREGO_FUSED_LAYER",
+    "PREGO_FUSED_CACHE_UPD",
+    "PREGO_FUSED_FFN_Q8",
+    "PREGO_FUSED_DENSE_Q8",
+)
+
 VARIANTS = {
-    # (PREGO_FUSED_FFN, PREGO_FUSED_ATTN_WO, PREGO_FUSED_LAYER,
-    #  PREGO_FUSED_CACHE_UPD)
-    "baseline": ("0", "0", "0", "0"),
-    "+ffn": ("1", "0", "0", "0"),
-    "+wo": ("0", "1", "0", "0"),
-    "+both": ("1", "1", "0", "0"),
-    "+layer": ("1", "1", "1", "0"),  # norm prologue + residual epilogues
-    "+cacheupd": ("1", "1", "1", "1"),  # cache write in-kernel too
+    # bf16 fusion ladder
+    "baseline": {},
+    "+ffn": {"PREGO_FUSED_FFN": "1"},
+    "+wo": {"PREGO_FUSED_ATTN_WO": "1"},
+    "+both": {"PREGO_FUSED_FFN": "1", "PREGO_FUSED_ATTN_WO": "1"},
+    "+layer": {  # norm prologue + residual epilogues
+        "PREGO_FUSED_FFN": "1",
+        "PREGO_FUSED_ATTN_WO": "1",
+        "PREGO_FUSED_LAYER": "1",
+    },
+    "+cacheupd": {  # cache write in-kernel too
+        "PREGO_FUSED_FFN": "1",
+        "PREGO_FUSED_ATTN_WO": "1",
+        "PREGO_FUSED_LAYER": "1",
+        "PREGO_FUSED_CACHE_UPD": "1",
+    },
+    # weight-only-int8 fusion ladder (--quantize; the 7B serving path)
+    "qbase": {},
+    "+ffnq8": {"PREGO_FUSED_FFN_Q8": "1"},
+    "+denseq8": {"PREGO_FUSED_DENSE_Q8": "1"},
+    "+allq8": {"PREGO_FUSED_FFN_Q8": "1", "PREGO_FUSED_DENSE_Q8": "1"},
 }
 
 
@@ -60,31 +82,49 @@ def main():
     ap.add_argument("--gen", type=int, default=128)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--variants", default="baseline,+ffn,+wo,+both,+layer,+cacheupd")
+    ap.add_argument("--variants", default=None)
     ap.add_argument("--compile_retries", type=int, default=2)
+    ap.add_argument("--quantize", action="store_true",
+                    help="weight-only-int8 params; A/B the q8 fusion ladder")
+    ap.add_argument("--dim", type=int, default=2048)
+    ap.add_argument("--layers", type=int, default=16)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--vocab", type=int, default=0,
+                    help="0 = byte vocab (258); e.g. 32000 for the 7B shape")
     args = ap.parse_args()
+    if args.variants is None:
+        args.variants = (
+            "qbase,+ffnq8,+denseq8,+allq8" if args.quantize
+            else "baseline,+ffn,+wo,+both,+layer,+cacheupd"
+        )
 
     from prego_tpu.models.llama import ByteTokenizer, LlamaConfig, init_params
-    from prego_tpu.models.llama.model import fuse_projections, precompute_rope
+    from prego_tpu.models.llama.model import (
+        fuse_projections,
+        init_params_quantized,
+        precompute_rope,
+    )
 
     tok = ByteTokenizer()
     cfg = LlamaConfig(
-        dim=2048, n_layers=16, n_heads=16, n_kv_heads=16, vocab_size=tok.n_words,
+        dim=args.dim, n_layers=args.layers, n_heads=args.heads,
+        n_kv_heads=args.heads, vocab_size=args.vocab or tok.n_words,
         multiple_of=256, norm_eps=1e-5, max_batch_size=args.batch, max_seq_len=512,
     )
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    params = fuse_projections(init_params(cfg, jax.random.PRNGKey(0), dtype=dtype))
+    if args.quantize:
+        params = init_params_quantized(cfg, jax.random.PRNGKey(0), fused=True)
+    else:
+        params = fuse_projections(init_params(cfg, jax.random.PRNGKey(0), dtype=dtype))
     rope = precompute_rope(cfg)
     tokens = jnp.asarray(np.arange(args.batch) % 200 + 4, jnp.int32)
     sync = jax.jit(lambda t: jnp.sum(t))
 
     outs = {}
     for name in args.variants.split(","):
-        ffn, wo, lyr, upd = VARIANTS[name]
-        os.environ["PREGO_FUSED_FFN"] = ffn
-        os.environ["PREGO_FUSED_ATTN_WO"] = wo
-        os.environ["PREGO_FUSED_LAYER"] = lyr
-        os.environ["PREGO_FUSED_CACHE_UPD"] = upd
+        env = VARIANTS[name]
+        for gate in _GATES:
+            os.environ[gate] = env.get(gate, "0")
         # the tunnel's remote-compile endpoint drops long compiles in bad
         # weather (broken pipe after tens of minutes) — retry per variant
         out = None
