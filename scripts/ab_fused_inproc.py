@@ -47,11 +47,17 @@ VARIANTS = {
         "PREGO_FUSED_LAYER": "1",
         "PREGO_FUSED_CACHE_UPD": "1",
     },
-    # weight-only-int8 fusion ladder (--quantize; the 7B serving path)
+    # weight-only-int8 fusion ladder (--quantize; the 7B serving path).
+    # PREGO_FUSED_LAYER is a default-on kill switch the q8 FFN dispatch
+    # also consults — keep it on in the q8 variants.
     "qbase": {},
-    "+ffnq8": {"PREGO_FUSED_FFN_Q8": "1"},
+    "+ffnq8": {"PREGO_FUSED_FFN_Q8": "1", "PREGO_FUSED_LAYER": "1"},
     "+denseq8": {"PREGO_FUSED_DENSE_Q8": "1"},
-    "+allq8": {"PREGO_FUSED_FFN_Q8": "1", "PREGO_FUSED_DENSE_Q8": "1"},
+    "+allq8": {
+        "PREGO_FUSED_FFN_Q8": "1",
+        "PREGO_FUSED_LAYER": "1",
+        "PREGO_FUSED_DENSE_Q8": "1",
+    },
 }
 
 
