@@ -270,9 +270,17 @@ def bench_decode_7b(batch: int, tiny: bool, kv_quant: bool = False,
 def bench_anticipation_step_7b(tiny: bool, kv_quant: bool = True,
                                step_batch: int = 1):
     """The PREGO anticipation step AT THE REFERENCE SHAPE: 4 sampled
-    generations (num_samples=2 squared) sharing a ~1.5k-token context,
+    generations (num_samples=2 squared) sharing a 1,500-token context,
     7B int8, real 32k lm-head, KV prefix cache. step_batch folds that
-    many consecutive steps into one dispatch (driver --step_batch)."""
+    many consecutive steps into one dispatch (driver --step_batch).
+
+    ctx_len=1500 is a deliberate UPPER BOUND: the real Assembly101-O
+    prompt stream (all 643 dispatches, measured by
+    scripts/measure_prompt_tokens.py on the reference's shipped
+    predictions + context assets) brackets at ~240-400 estimated
+    SentencePiece tokens p50 and ~965 max even in the richest
+    emoji+toy-class-context configuration — so real-workload steps are
+    FASTER than this bench."""
     if tiny:
         return {"case": "anticipation_step_7b_int8", "skipped": "tiny"}
     bsz = 4 * step_batch
