@@ -208,20 +208,29 @@ def bench_anticipation_step(tiny: bool, step_batch: int = 1,
     }
 
 
-def _llama_7b(kv_quant: bool, max_batch: int, max_seq: int,
-              activations: bool = False):
-    """The reference's PRIMARY serving shape (llama/model.py:20-31 defaults
-    + Llama.build 7B checkpoints, generation.py:101-120): dim 4096, 32
-    layers, 32 heads, **vocab 32000** — so the 4096x32000 lm-head read is
-    part of every measured step.  bf16 7B is 13.5 GB and cannot fit a
-    16 GB v5e beside its KV cache; weight-only int8 (~6.7 GB) can, built
-    directly as int8 via init_params_quantized (fabricated weights)."""
+# The reference's served checkpoint shapes (llama/model.py:20-31 defaults
+# + Llama.build's 7B/13B checkpoints, generation.py:101-120).
+_REF_SHAPES = {
+    "7b": dict(dim=4096, n_layers=32, n_heads=32),
+    "13b": dict(dim=5120, n_layers=40, n_heads=40),
+}
+
+
+def _llama_ref(shape: str, kv_quant: bool, max_batch: int, max_seq: int,
+               activations: bool = False):
+    """One of the reference's served shapes with **vocab 32000** — so the
+    dim x 32000 lm-head read is part of every measured step.  bf16 7B is
+    13.5 GB (13B: 26 GB) and cannot fit a 16 GB v5e beside its KV cache;
+    weight-only int8 (~6.7 GB / ~13.2 GB) can, built directly as int8 via
+    init_params_quantized (fabricated weights)."""
     import jax
     from prego_tpu.models.llama import ByteTokenizer, Llama, LlamaConfig
     from prego_tpu.models.llama.model import init_params_quantized
 
+    s = _REF_SHAPES[shape]
     cfg = LlamaConfig(
-        dim=4096, n_layers=32, n_heads=32, n_kv_heads=32, vocab_size=32000,
+        dim=s["dim"], n_layers=s["n_layers"], n_heads=s["n_heads"],
+        n_kv_heads=s["n_heads"], vocab_size=32000,
         multiple_of=256, norm_eps=1e-5, max_batch_size=max_batch,
         max_seq_len=max_seq,
     )
@@ -233,16 +242,24 @@ def _llama_7b(kv_quant: bool, max_batch: int, max_seq: int,
     return Llama(params, ByteTokenizer(), cfg, kv_quant=kv_quant), cfg
 
 
+def _llama_7b(kv_quant: bool, max_batch: int, max_seq: int,
+              activations: bool = False):
+    return _llama_ref("7b", kv_quant, max_batch, max_seq, activations)
+
+
 # v5e HBM bandwidth, for the weight-streaming decode floor
 _V5E_HBM_GBS = 819.0
 
 
 def bench_decode_7b(batch: int, tiny: bool, kv_quant: bool = False,
-                    gen_len: int = 128, activations: bool = False):
-    if tiny:  # the 7B case is a real-chip measurement; CPU smoke skips it
-        return {"case": f"decode_7b_b{batch}_int8", "skipped": "tiny"}
-    llama, cfg = _llama_7b(kv_quant, max_batch=batch, max_seq=256,
-                           activations=activations)
+                    gen_len: int = 128, activations: bool = False,
+                    shape: str = "7b"):
+    case = (f"decode_{shape}_b{batch}_int8" + ("x8" if activations else "")
+            + ("_kv8" if kv_quant else ""))
+    if tiny:  # the 7B/13B cases are real-chip measurements; CPU smoke skips
+        return {"case": case, "skipped": "tiny"}
+    llama, cfg = _llama_ref(shape, kv_quant, max_batch=batch, max_seq=256,
+                            activations=activations)
     rng = np.random.default_rng(0)
     prompts = [rng.integers(4, 31999, 8).tolist() for _ in range(batch)]
     llama.generate(prompts, max_gen_len=gen_len, temperature=0.0)  # compile
@@ -253,12 +270,11 @@ def bench_decode_7b(batch: int, tiny: bool, kv_quant: bool = False,
     dt = (time.perf_counter() - t0) / reps
     ms_per_step = dt / gen_len * 1e3
     # weights actually streamed per step (int8 dense bytes, no embeddings)
-    stream_gb = (4096 * 32000 + 32 * (4096 * 12288 + 4096 * 4096
-                 + 4096 * 22016 + 11008 * 4096)) / 1e9
+    D, F, V, L = cfg.dim, cfg.ffn_hidden, cfg.vocab_size, cfg.n_layers
+    stream_gb = (D * V + L * (D * 3 * D + D * D + D * 2 * F + F * D)) / 1e9
     floor_ms = stream_gb / _V5E_HBM_GBS * 1e3
     return {
-        "case": f"decode_7b_b{batch}_int8" + ("x8" if activations else "")
-        + ("_kv8" if kv_quant else ""),
+        "case": case,
         "value": round(ms_per_step, 2),
         "unit": "ms/step",
         "tok_per_s": round(batch * gen_len / dt, 1),
@@ -333,6 +349,9 @@ CASES = {
     "anticipation_step_kv8": lambda tiny: bench_anticipation_step(
         tiny, kv_quant=True),
     "decode_7b_int8": lambda tiny: bench_decode_7b(1, tiny),
+    "decode_13b_int8": lambda tiny: bench_decode_7b(1, tiny, shape="13b"),
+    "decode_13b_int8_kv8": lambda tiny: bench_decode_7b(
+        1, tiny, kv_quant=True, shape="13b"),
     "decode_7b_b8_int8": lambda tiny: bench_decode_7b(8, tiny),
     "decode_7b_b8_int8_kv8": lambda tiny: bench_decode_7b(8, tiny, kv_quant=True),
     "decode_7b_int8x8": lambda tiny: bench_decode_7b(1, tiny, activations=True),
