@@ -61,11 +61,15 @@ VARIANTS = {
 }
 
 
-def make_runner(cfg, params, rope):
-    """Fresh closure per call so each variant traces under its own env."""
+def make_runner(cfg):
+    """Fresh function object per variant so each traces under its own env
+    gates.  params/rope are jit ARGUMENTS, not closed-over constants — a
+    closure would capture the full weight set as compile-time constants
+    (6.9 GB at the 7B shape), which the remote compile helper has to
+    ingest per variant."""
     from prego_tpu.models.llama.model import forward, init_cache
 
-    def run(tokens, gen_len):
+    def run(params, rope, tokens, gen_len):
         B = tokens.shape[0]
         cache = init_cache(cfg, B, dtype=params["norm"].dtype)
 
@@ -80,7 +84,7 @@ def make_runner(cfg, params, rope):
         _, _, acc = jax.lax.fori_loop(0, gen_len, body, (tokens, cache, acc0))
         return acc
 
-    return jax.jit(run, static_argnums=(1,))
+    return jax.jit(run, static_argnums=(3,))
 
 
 def main():
@@ -135,10 +139,10 @@ def main():
         # weather (broken pipe after tens of minutes) — retry per variant
         out = None
         for attempt in range(args.compile_retries):
-            fn = make_runner(cfg, params, rope)
+            fn = make_runner(cfg)
             t0 = time.perf_counter()
             try:
-                out = fn(tokens, args.gen)
+                out = fn(params, rope, tokens, args.gen)
                 float(sync(out))
                 break
             except Exception as e:  # noqa: BLE001 — report and retry/continue
@@ -154,7 +158,7 @@ def main():
         print(f"[{name:9s}] compiled+first {time.perf_counter()-t0:.1f}s", flush=True)
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = fn(tokens, args.gen)
+            out = fn(params, rope, tokens, args.gen)
         float(sync(out))
         ms = (time.perf_counter() - t0) / args.reps / args.gen * 1e3
         outs[name] = np.asarray(out)
