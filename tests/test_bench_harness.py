@@ -1,0 +1,92 @@
+"""Hermetic tests for bench.py's driver-attested LLM extras plumbing.
+
+bench.py is the one script the round driver runs unattended on the real
+chip; a regression in its child-output parsing or failure isolation
+costs the round's official numbers.  These tests stub subprocess.run so
+no device is touched.
+"""
+
+import json
+import subprocess
+import sys
+import types
+
+import pytest
+
+sys.path.insert(0, ".")
+import bench  # noqa: E402  (repo-root module)
+
+
+class _Proc:
+    def __init__(self, rc, stdout="", stderr=""):
+        self.returncode = rc
+        self.stdout = stdout
+        self.stderr = stderr
+
+
+def test_extras_parse_child_json(monkeypatch):
+    row = {"case": "decode_b8", "value": 3.5, "unit": "ms/step",
+           "tok_per_s": 2900.0, "pct_of_floor": 61.0}
+
+    def fake_run(cmd, **kw):
+        assert "--llm-child" in cmd
+        return _Proc(0, stdout="noise\n" + json.dumps(row) + "\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    extras = bench._collect_llm_extras(weather_clean=True)
+    for case, prefix, _ in bench.LLM_EXTRAS:
+        assert extras[f"{prefix}_ms_per_step"] == 3.5
+        assert extras[f"{prefix}_tok_s"] == 2900.0
+        assert extras[f"{prefix}_pct_of_floor"] == 61.0
+
+
+def test_extras_failure_drops_keys_never_raises(monkeypatch):
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        return _Proc(1, stderr="boom\nRESOURCE_EXHAUSTED\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    extras = bench._collect_llm_extras(weather_clean=True)
+    assert extras == {}
+    # each case retried exactly once (HBM-free backoff)
+    assert len(calls) == 2 * len(bench.LLM_EXTRAS)
+
+
+def test_extras_retry_succeeds_second_attempt(monkeypatch):
+    row = {"case": "decode_7b_b1_int8", "value": 10.7, "unit": "ms/step"}
+    state = {"n": 0}
+
+    def fake_run(cmd, **kw):
+        state["n"] += 1
+        if state["n"] == 1:
+            return _Proc(1, stderr="RESOURCE_EXHAUSTED")
+        return _Proc(0, stdout=json.dumps(row))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "LLM_EXTRAS", (("decode_7b_int8", "x", 60),))
+    extras = bench._collect_llm_extras(weather_clean=True)
+    assert extras == {"x_ms_per_step": 10.7}
+    assert state["n"] == 2
+
+
+def test_extras_timeout_is_contained(monkeypatch):
+    def fake_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._collect_llm_extras(weather_clean=True) == {}
+
+
+def test_extras_skipped_on_bad_weather_and_env(monkeypatch):
+    def fail_run(cmd, **kw):  # must never be called
+        raise AssertionError("child launched despite skip condition")
+
+    monkeypatch.setattr(subprocess, "run", fail_run)
+    assert bench._collect_llm_extras(weather_clean=False) == {}
+    monkeypatch.setenv("PREGO_BENCH_LLM", "0")
+    assert bench._collect_llm_extras(weather_clean=True) == {}
