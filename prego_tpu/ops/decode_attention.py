@@ -328,7 +328,8 @@ def _decode_kernel_bounded_wo_res_upd(
     out_ref,  # (1, 1, D) h.dtype — h + attn @ wo
     ck_out,  # (B, KV, T, hd) ANY — the updated cache (same buffer as ck_in)
     cv_out,
-    k_buf, v_buf, m_ref, l_ref, acc_ref, wo_vmem, sem, wo_sem, upd_sem,
+    k_buf, v_buf, m_ref, l_ref, acc_ref, wo_vmem, ktile, vtile,
+    sem, wo_sem, upd_sem,
     *,
     kv_heads: int,
     t_block: int,
@@ -340,10 +341,18 @@ def _decode_kernel_bounded_wo_res_upd(
     cache, project through wo and add the residual.  The cache operands
     are input_output_aliased, so the write is in-place exactly like the
     donated while_loop carry; the k/v block walk starts only after the
-    write DMA completes, so the final block reads the new token."""
+    write DMA completes, so the final block reads the new token.
+
+    The write is a read-modify-write of the containing 8-row sublane
+    tile: Mosaic rejects DMA offsets that are not tile-aligned on a
+    tiled dim (an arbitrary ``pos`` lands mid-tile — observed on-chip as
+    a bare compile-helper exit 1), so we stage [tile, tile+8), insert the
+    new row with an iota mask, and write the tile back."""
     b = pl.program_id(0)
     pos = pos_ref[0, 0]
     valid = pos + 1
+    tile = (pos // 8) * 8
+    row = pos - tile
 
     @pl.when(b == 0)
     def _():
@@ -351,16 +360,25 @@ def _decode_kernel_bounded_wo_res_upd(
         dma.start()
         dma.wait()
 
-    # cache write: VMEM (1, KV, 1, hd) -> HBM [b, :, pos:pos+1, :]
+    # stage the 8-row tiles containing pos (8-aligned dynamic offsets)
+    kr = pltpu.make_async_copy(
+        ck_in.at[b, :, pl.ds(tile, 8), :], ktile, upd_sem.at[0]
+    )
+    vr = pltpu.make_async_copy(
+        cv_in.at[b, :, pl.ds(tile, 8), :], vtile, upd_sem.at[1]
+    )
+    kr.start()
+    vr.start()
+    kr.wait()
+    vr.wait()
+    rows = jax.lax.broadcasted_iota(jnp.int32, (kv_heads, 8, head_dim), 1)
+    ktile[:] = jnp.where(rows == row, knew_ref[0, :, 0][:, None, :], ktile[:])
+    vtile[:] = jnp.where(rows == row, vnew_ref[0, :, 0][:, None, :], vtile[:])
     kw = pltpu.make_async_copy(
-        knew_ref.at[0, :, pl.ds(0, 1), :],
-        ck_out.at[b, :, pl.ds(pos, 1), :],
-        upd_sem.at[0],
+        ktile, ck_out.at[b, :, pl.ds(tile, 8), :], upd_sem.at[0]
     )
     vw = pltpu.make_async_copy(
-        vnew_ref.at[0, :, pl.ds(0, 1), :],
-        cv_out.at[b, :, pl.ds(pos, 1), :],
-        upd_sem.at[1],
+        vtile, cv_out.at[b, :, pl.ds(tile, 8), :], upd_sem.at[1]
     )
     kw.start()
     vw.start()
@@ -720,6 +738,8 @@ def decode_attention_bounded_wo_res_upd(
             pltpu.VMEM((KV, R, 128), jnp.float32),
             pltpu.VMEM((KV, R, hd), jnp.float32),
             pltpu.VMEM((KV * R * hd, D), wo.dtype),
+            pltpu.VMEM((KV, 8, hd), cache_k.dtype),
+            pltpu.VMEM((KV, 8, hd), cache_v.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),

@@ -167,6 +167,17 @@ def main():
     names = list(outs)
     same = all(np.array_equal(outs[names[0]], outs[n]) for n in names[1:])
     print(f"greedy tokens identical across {names}: {same}")
+    if not same:
+        # With random weights, near-tie logits make a single argmax flip
+        # under any bf16 reduction reorder — after which greedy sequences
+        # diverge permanently.  The informative stat is the per-row
+        # first-divergence step, not the bare mismatch.
+        base = outs[names[0]]
+        for n in names[1:]:
+            d = outs[n] != base
+            firsts = [int(np.argmax(r)) if r.any() else -1 for r in d]
+            print(f"  [{n:9s}] first-divergence step per row "
+                  f"(-1 = identical): {firsts}")
 
 
 if __name__ == "__main__":

@@ -29,7 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(cfg, params, rope, mode: str):
+def build(cfg, mode: str):
+    # params/rope are jit ARGUMENTS — closing over them would bake the
+    # full weight set into the trace as captured constants (1.7 GB at
+    # the 1B shape), which the remote compile helper must ingest.
     from prego_tpu.models.llama.model import (
         _attention, _dense, _feed_forward, init_cache, rms_norm,
     )
@@ -71,7 +74,7 @@ def build(cfg, params, rope, mode: str):
         )
         return h, ck, cv
 
-    def run(tokens, gen_len):
+    def run(params, rope, tokens, gen_len):
         B = tokens.shape[0]
         cache = init_cache(cfg, B, dtype=params["norm"].dtype)
         cos_full, sin_full = rope
@@ -94,7 +97,7 @@ def build(cfg, params, rope, mode: str):
         tok, cache = jax.lax.fori_loop(0, gen_len, body, (tokens, cache))
         return tok
 
-    return jax.jit(run, static_argnums=(1,))
+    return jax.jit(run, static_argnums=(3,))
 
 
 def main():
@@ -125,14 +128,14 @@ def main():
     sync = jax.jit(lambda t: jnp.sum(t))
     results = {}
     for mode in args.modes.split(","):
-        fn = build(cfg, params, rope, mode)
+        fn = build(cfg, mode)
         t0 = time.perf_counter()
-        out = fn(tokens, args.gen)
+        out = fn(params, rope, tokens, args.gen)
         float(sync(out))
         print(f"[{mode}] compiled+first in {time.perf_counter()-t0:.1f}s", flush=True)
         t0 = time.perf_counter()
         for _ in range(args.reps):
-            out = fn(tokens, args.gen)
+            out = fn(params, rope, tokens, args.gen)
         float(sync(out))
         dt = (time.perf_counter() - t0) / args.reps
         ms = dt / args.gen * 1e3
