@@ -237,7 +237,7 @@ def test_bounded_wo_fusion_matches_unfused(valid):
     )
 
 
-@pytest.mark.parametrize("pos", [0, 136, 511])
+@pytest.mark.parametrize("pos", [0, 13, 136, 511])
 def test_bounded_wo_res_upd_matches_update_then_attend(pos):
     """The cache-write-fused attention tail must equal: XLA
     dynamic_update_slice into the cache, bounded attention over it with
