@@ -145,6 +145,9 @@ LLM_EXTRAS = (
     # (case name in scripts/bench_llm.py, key prefix, child timeout s)
     ("decode_b8", "llm_decode_b8_1b_bf16", 540),
     ("decode_7b_int8", "llm_decode_b1_7b_int8", 720),
+    # the flagship PREGO serving number: 4-gen anticipation step,
+    # step-batched x2, 1.5k-token shared context (1B-class shape)
+    ("anticipation_step_sb2", "llm_anticipation_step_sb2", 600),
 )
 
 
