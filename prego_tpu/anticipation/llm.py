@@ -218,6 +218,18 @@ class JaxLlamaLLM:
                 f"ckpt_dir {ckpt_dir!r} does not exist (expected a Meta "
                 "checkpoint dir with params.json or an HF export with config.json)"
             )
+        # With quantize=True every pre-int8 stage (convert, fuse,
+        # quantize) runs on host CPU: the intermediate bf16 tree is
+        # 13.5 GB at 7B and must never land on a 16 GB serving chip.
+        # Only the final int8 tree (~6.7 GB) is device_put.
+        import contextlib
+
+        quantized_loaded = False
+        stage_ctx = (
+            (lambda: jax.default_device(jax.devices("cpu")[0]))
+            if quantize
+            else contextlib.nullcontext
+        )
         if osp.exists(osp.join(ckpt_dir, "params.json")):
             config = LlamaConfig.from_params_json(
                 ckpt_dir,
@@ -229,10 +241,26 @@ class JaxLlamaLLM:
             if orbax_dir and osp.isdir(orbax_dir):
                 from prego_tpu.checkpoint.orbax_io import load_llama_params
 
-                params = load_llama_params(orbax_dir, config, dtype=dtype)
+                if quantize:
+                    # the cache holds the serving layout (fused int8) —
+                    # restores straight into int8+scale leaves; fall back
+                    # to a bf16 cache written by a non-quantized run
+                    try:
+                        params = load_llama_params(
+                            orbax_dir, config, dtype=dtype, quantized=True
+                        )
+                        quantized_loaded = True
+                    except Exception:
+                        with stage_ctx():
+                            params = load_llama_params(
+                                orbax_dir, config, dtype=dtype
+                            )
+                else:
+                    params = load_llama_params(orbax_dir, config, dtype=dtype)
             if params is None:
-                params = convert_meta_checkpoint(ckpt_dir, config, dtype)
-                if orbax_dir:
+                with stage_ctx():
+                    params = convert_meta_checkpoint(ckpt_dir, config, dtype)
+                if orbax_dir and not quantize:
                     from prego_tpu.checkpoint.orbax_io import save_llama_params
 
                     save_llama_params(orbax_dir, params)
@@ -252,22 +280,35 @@ class JaxLlamaLLM:
                 max_seq_len=max_seq_len,
                 max_batch_size=max_batch_size,
             )
-            params = convert_hf_checkpoint(ckpt_dir, config, dtype)
+            with stage_ctx():
+                params = convert_hf_checkpoint(ckpt_dir, config, dtype)
 
         if tp is None:
             tp = len(jax.devices())
         if tp > 1 and not quantize:  # fused/int8 layouts are single-chip
             mesh = tp_mesh(tp)
             params = shard_params(params, llama_param_specs(config), mesh)
+        elif quantized_loaded:
+            pass  # restored directly as fused int8 on the serving chip
         else:
             # single-chip serving: fused qkv/w13 projections (28% decode win)
             from prego_tpu.models.llama.model import fuse_projections
 
-            params = fuse_projections(params)
             if quantize:
+                from prego_tpu.checkpoint.orbax_io import save_llama_params
                 from prego_tpu.models.llama.model import quantize_params
 
-                params = quantize_params(params)
+                with stage_ctx():  # host-side fuse + quantize (see above)
+                    params = fuse_projections(params)
+                    params = quantize_params(params)
+                if orbax_dir and not osp.isdir(orbax_dir):
+                    # fresh cache: store the serving layout so later
+                    # launches restore int8 directly (no bf16 stage at
+                    # all); an existing bf16 cache is left untouched
+                    save_llama_params(orbax_dir, params)
+                params = jax.device_put(params, jax.devices()[0])
+            else:
+                params = fuse_projections(params)
         self.llama = Llama(params, tokenizer, config, kv_quant=kv_quant)
 
     def text_completion(

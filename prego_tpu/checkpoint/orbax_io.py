@@ -49,18 +49,44 @@ def load_llama_params(
     config: LlamaConfig,
     mesh=None,
     dtype=jnp.bfloat16,
+    quantized: bool = False,
+    fused: bool = True,
+    activations: bool = False,
 ) -> Dict[str, Any]:
     """Restore a params tree saved by save_llama_params. With a mesh, each
-    array lands directly in its tensor-parallel NamedSharding."""
+    array lands directly in its tensor-parallel NamedSharding.
+
+    quantized=True restores a weight-only-int8 tree (as produced by
+    ``quantize_params`` / ``fuse_projections(quantize_params(...))`` when
+    fused=True) DIRECTLY into its int8+scale leaves — no bf16
+    materialization, so a 7B model restores in its ~6.7 GB int8 footprint
+    on a 16 GB chip where the 13.5 GB bf16 tree would not fit.  This is
+    the single-chip serving startup path (the reference re-merges Meta's
+    .pth shards on every launch, generation.py:101-120; here the
+    quantize-once/restore-int8 flow replaces it).  Quantized restore is
+    single-chip: the fused int8 layout deliberately has no TP specs."""
     import orbax.checkpoint as ocp
 
-    from prego_tpu.models.llama.model import init_params
+    from prego_tpu.models.llama.model import init_params, init_params_quantized
     from prego_tpu.parallel.sharding import llama_param_specs
 
+    if quantized and mesh is not None:
+        raise ValueError(
+            "quantized restore is the single-chip serving layout; "
+            "restore bf16 onto the mesh and quantize per-shard instead"
+        )
     # shape/dtype skeleton without materializing weights
-    skeleton = jax.eval_shape(
-        lambda: init_params(config, jax.random.PRNGKey(0), dtype=dtype)
-    )
+    if quantized:
+        skeleton = jax.eval_shape(
+            lambda: init_params_quantized(
+                config, jax.random.PRNGKey(0), fused=fused,
+                dtype=dtype, activations=activations,
+            )
+        )
+    else:
+        skeleton = jax.eval_shape(
+            lambda: init_params(config, jax.random.PRNGKey(0), dtype=dtype)
+        )
     specs = llama_param_specs(config) if mesh is not None else None
     abstract = _abstract_tree(skeleton, mesh, specs)
     with ocp.StandardCheckpointer() as ckptr:

@@ -135,3 +135,41 @@ def test_inverse_permute_is_inverse(rng):
         )
 
     np.testing.assert_array_equal(_inverse_hf_permute(hf_permute(w, n_heads), n_heads), w)
+
+
+def test_jax_llama_llm_quantized_orbax_cache(source_params, tmp_path):
+    """The single-chip int8 startup path end-to-end: first launch
+    converts on host, fuses+quantizes, caches the SERVING layout in
+    orbax; second launch restores straight into int8 leaves (no bf16
+    stage) and generates identically (reference seam: Llama.build's
+    per-launch shard merge, generation.py:101-120)."""
+    import json as _json
+
+    from prego_tpu.anticipation.llm import JaxLlamaLLM
+    from prego_tpu.checkpoint.orbax_io import load_llama_params
+
+    sd = _params_to_meta_state(source_params)
+    torch.save(sd, tmp_path / "consolidated.00.pth")
+    (tmp_path / "params.json").write_text(_json.dumps({
+        "dim": CFG.dim, "n_layers": CFG.n_layers, "n_heads": CFG.n_heads,
+        "n_kv_heads": CFG.n_kv_heads, "norm_eps": CFG.norm_eps,
+        "vocab_size": -1, "multiple_of": CFG.multiple_of,
+    }))
+    cache = str(tmp_path / "orbax_q8")
+
+    kw = dict(ckpt_dir=str(tmp_path), tokenizer_path="byte",
+              max_seq_len=64, max_batch_size=2, tp=1,
+              dtype=jnp.float32, quantize=True, orbax_dir=cache)
+    first = JaxLlamaLLM(**kw)
+    # the cache holds the serving layout: int8 restore succeeds
+    restored = load_llama_params(cache, first.llama.config, dtype=jnp.float32,
+                                 quantized=True)
+    assert restored["layers"][0]["attention"]["wqkv"]["q"].dtype == jnp.int8
+
+    second = JaxLlamaLLM(**kw)  # restores int8 directly
+    wqkv = second.llama.params["layers"][0]["attention"]["wqkv"]
+    assert wqkv["q"].dtype == jnp.int8
+
+    out1 = first.text_completion(["abc"], max_gen_len=4, temperature=0.0)
+    out2 = second.text_completion(["abc"], max_gen_len=4, temperature=0.0)
+    assert out1[0]["generation"] == out2[0]["generation"]

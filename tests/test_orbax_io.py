@@ -35,3 +35,31 @@ def test_restore_onto_tp_mesh(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(wq), np.asarray(params["layers"][0]["attention"]["wq"])
     )
+
+
+def test_roundtrip_quantized_int8(tmp_path):
+    """int8 serving params restore DIRECTLY into their quantized leaves
+    (no bf16 materialization) — the single-chip 7B startup path."""
+    from prego_tpu.models.llama.model import fuse_projections, quantize_params
+
+    params = quantize_params(
+        fuse_projections(init_params(CFG, jax.random.PRNGKey(2), dtype=jnp.float32))
+    )
+    path = tmp_path / "llama_ckpt_q8"
+    save_llama_params(str(path), params)
+    restored = load_llama_params(str(path), CFG, quantized=True, fused=True,
+                                 dtype=jnp.float32)
+    wqkv = restored["layers"][0]["attention"]["wqkv"]
+    assert wqkv["q"].dtype == jnp.int8 and wqkv["s"].dtype == jnp.float32
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params,
+        restored,
+    )
+
+
+def test_quantized_restore_rejects_mesh(tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="single-chip"):
+        load_llama_params(str(tmp_path), CFG, mesh=tp_mesh(8), quantized=True)
