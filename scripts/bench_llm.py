@@ -354,6 +354,8 @@ CASES = {
         1, tiny, kv_quant=True, shape="13b"),
     "decode_7b_b8_int8": lambda tiny: bench_decode_7b(8, tiny),
     "decode_7b_b8_int8_kv8": lambda tiny: bench_decode_7b(8, tiny, kv_quant=True),
+    "decode_7b_b16_int8_kv8": lambda tiny: bench_decode_7b(16, tiny, kv_quant=True),
+    "decode_7b_b32_int8_kv8": lambda tiny: bench_decode_7b(32, tiny, kv_quant=True),
     "decode_7b_int8x8": lambda tiny: bench_decode_7b(1, tiny, activations=True),
     "decode_7b_b8_int8x8": lambda tiny: bench_decode_7b(8, tiny, activations=True),
     "anticipation_step_7b_int8_kv8": lambda tiny: bench_anticipation_step_7b(tiny),
