@@ -173,7 +173,16 @@ def _collect_llm_extras(weather_clean: bool) -> dict:
         print("bench: skipping LLM extras (tunnel weather)", file=sys.stderr)
         return {}
     extras = {}
+    # global deadline across ALL extras (default 25 min): the driver's
+    # capture window must never be consumed by serving-bench retries
+    deadline = time.time() + float(os.environ.get("PREGO_BENCH_LLM_BUDGET", "1500"))
     for case, prefix, timeout_s in LLM_EXTRAS:
+        if time.time() + timeout_s > deadline:
+            print(
+                f"bench: LLM extra {case} skipped (extras budget exhausted)",
+                file=sys.stderr,
+            )
+            continue
         # One retry after a backoff: the axon server frees a just-exited
         # client's HBM asynchronously, so a big-memory case launched
         # seconds after the previous child can hit RESOURCE_EXHAUSTED
@@ -221,6 +230,13 @@ def _collect_llm_extras(weather_clean: bool) -> dict:
                 print(f"bench: LLM extra {case} failed: {e}", file=sys.stderr)
                 break
             if attempt == 1:
+                if time.time() + 30 + timeout_s > deadline:
+                    print(
+                        f"bench: LLM extra {case} retry skipped (extras "
+                        "budget exhausted)",
+                        file=sys.stderr,
+                    )
+                    break
                 time.sleep(30)
     return extras
 

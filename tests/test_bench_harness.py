@@ -90,3 +90,18 @@ def test_extras_skipped_on_bad_weather_and_env(monkeypatch):
     assert bench._collect_llm_extras(weather_clean=False) == {}
     monkeypatch.setenv("PREGO_BENCH_LLM", "0")
     assert bench._collect_llm_extras(weather_clean=True) == {}
+
+
+def test_extras_global_budget_skips_remaining(monkeypatch):
+    row = {"case": "decode_b8", "value": 3.5, "unit": "ms/step"}
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        return _Proc(0, stdout=json.dumps(row))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    # budget too small for even the first case's timeout -> nothing runs
+    monkeypatch.setenv("PREGO_BENCH_LLM_BUDGET", "1")
+    assert bench._collect_llm_extras(weather_clean=True) == {}
+    assert calls == []
