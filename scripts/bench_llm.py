@@ -298,7 +298,12 @@ def bench_anticipation_step_7b(tiny: bool, kv_quant: bool = True,
     emoji+toy-class-context configuration — so real-workload steps are
     FASTER than this bench."""
     if tiny:
-        return {"case": "anticipation_step_7b_int8", "skipped": "tiny"}
+        return {
+            "case": "anticipation_step_7b_int8"
+            + ("_kv8" if kv_quant else "")
+            + (f"_sb{step_batch}" if step_batch > 1 else ""),
+            "skipped": "tiny",
+        }
     bsz = 4 * step_batch
     llama, cfg = _llama_7b(kv_quant, max_batch=bsz, max_seq=2048)
     rng = np.random.default_rng(0)
