@@ -466,7 +466,7 @@ def _attention(
             out = decode_attention_bounded_q8(
                 q[:, 0], cache_k["q"], cache_k["s"],
                 cache_v["q"], cache_v["s"], start_pos + 1,
-                fold_batch=_fold_batch_requested(B),
+                fold_batch=_fold_batch_requested(B, config),
             )
         elif (
             not isinstance(p["wo"], dict)  # bf16 leaf (not int8)
@@ -496,7 +496,7 @@ def _attention(
 
             out = decode_attention_bounded(
                 q[:, 0], cache_k, cache_v, start_pos + 1,
-                fold_batch=_fold_batch_requested(B),
+                fold_batch=_fold_batch_requested(B, config),
             )  # (B, KV, R, hd); HBM reads stop at the valid cache length
         out = out.reshape(B, 1, H * hd).astype(x.dtype)
     else:
@@ -683,16 +683,24 @@ def _ffn_sublayer(layer: Params, h: jax.Array, config: LlamaConfig) -> jax.Array
     return h + _feed_forward(p, rms_norm(h, nw, config.norm_eps))
 
 
-def _fold_batch_requested(batch: int) -> bool:
-    """Opt-in (PREGO_FOLD_BATCH=1): run the bounded decode-attention
-    kernels with the whole batch folded into ONE grid program. Measured
-    -7.5% marginal / +25 ms per-call fixed at the 1B shape (RESULTS.md),
-    so it pays only for long-generation workloads; off by default.
-    Applies to the plain-bounded and int8-KV paths (the wo-fused epilogue
-    kernel has no fold variant and takes priority when eligible)."""
+def _fold_batch_requested(batch: int, config: "LlamaConfig" = None) -> bool:
+    """Run the bounded decode-attention kernels with the whole batch
+    folded into ONE grid program (per-program launch/DMA-warmup overhead
+    paid once instead of B times).  Measured: at the 7B shape the
+    batched-decode win is unambiguous (14.48 -> 14.04 ms/step b8
+    int8+kv8, RESULTS.md) because the heavier layers amortize the fold's
+    per-call fixed cost; at the 1B shape it is -7.5% marginal but
+    +25 ms per call — a net loss for short serving calls.  Default is
+    therefore shape-aware: AUTO-ON for batch > 1 at >= 24 layers,
+    off below.  PREGO_FOLD_BATCH=1/0 forces either way."""
     import os
 
-    return batch > 1 and os.environ.get("PREGO_FOLD_BATCH", "0") == "1"
+    if batch <= 1:
+        return False
+    env = os.environ.get("PREGO_FOLD_BATCH")
+    if env is not None:
+        return env == "1"
+    return config is not None and config.n_layers >= 24
 
 
 def forward(
