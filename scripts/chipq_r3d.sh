@@ -24,3 +24,5 @@ run python scripts/bench_llm.py --case decode_7b_b32_int8_kv8
 # ms/step, compiles 149s/71s) was taken in an obvious tunnel slow patch
 # (historical: scan 5.3 / pallas 3.39, compiles in seconds).
 run python scripts/bench_train.py --batch 16 --reps 50
+
+echo QUEUE_DONE
