@@ -271,3 +271,25 @@ def test_bounded_wo_res_upd_matches_update_then_attend(pos):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
     np.testing.assert_array_equal(np.asarray(ck), np.asarray(k_ref))
     np.testing.assert_array_equal(np.asarray(cv), np.asarray(v_ref))
+
+
+def test_fold_batch_default_is_shape_aware(monkeypatch):
+    """fold_batch auto-on for batch>1 at >=24 layers (7B-class, measured
+    win), off below (1B-class, measured loss); env forces either way."""
+    from prego_tpu.models.llama.config import LlamaConfig
+    from prego_tpu.models.llama.model import _fold_batch_requested
+
+    def cfg(layers):
+        return LlamaConfig(
+            dim=64, n_layers=layers, n_heads=4, n_kv_heads=4, vocab_size=64,
+            multiple_of=16, norm_eps=1e-5, max_batch_size=8, max_seq_len=64,
+        )
+
+    monkeypatch.delenv("PREGO_FOLD_BATCH", raising=False)
+    assert _fold_batch_requested(8, cfg(32))
+    assert not _fold_batch_requested(8, cfg(16))
+    assert not _fold_batch_requested(1, cfg(32))  # b1 never folds
+    monkeypatch.setenv("PREGO_FOLD_BATCH", "0")
+    assert not _fold_batch_requested(8, cfg(32))
+    monkeypatch.setenv("PREGO_FOLD_BATCH", "1")
+    assert _fold_batch_requested(8, cfg(16))
