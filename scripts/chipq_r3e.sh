@@ -20,4 +20,8 @@ run python scripts/bench_llm.py --case decode_13b_int8_kv8 --watchdog 2400
 # confirms the shipped default reproduces the 14.04 ms/step A/B row.
 run python scripts/bench_llm.py --case decode_7b_b8_int8_kv8
 
+# Final end-to-end bench.py exactly as the driver runs it: headline +
+# extras + budget + OOM backoff, all at HEAD.
+run python bench.py
+
 echo QUEUE_DONE
