@@ -691,8 +691,10 @@ def _fold_batch_requested(batch: int, config: "LlamaConfig" = None) -> bool:
     int8+kv8, RESULTS.md) because the heavier layers amortize the fold's
     per-call fixed cost; at the 1B shape it is -7.5% marginal but
     +25 ms per call — a net loss for short serving calls.  Default is
-    therefore shape-aware: AUTO-ON for batch > 1 at >= 24 layers,
-    off below.  PREGO_FOLD_BATCH=1/0 forces either way."""
+    therefore shape-aware: AUTO-ON for 1 < batch <= 8 at >= 24 layers
+    (the measured regime; larger batches stay opt-in until their
+    on-chip compiles are proven — a b16 fold compile stalled past the
+    900 s watchdog in r3).  PREGO_FOLD_BATCH=1/0 forces either way."""
     import os
 
     if batch <= 1:
@@ -700,7 +702,7 @@ def _fold_batch_requested(batch: int, config: "LlamaConfig" = None) -> bool:
     env = os.environ.get("PREGO_FOLD_BATCH")
     if env is not None:
         return env == "1"
-    return config is not None and config.n_layers >= 24
+    return config is not None and config.n_layers >= 24 and batch <= 8
 
 
 def forward(

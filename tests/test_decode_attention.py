@@ -289,6 +289,7 @@ def test_fold_batch_default_is_shape_aware(monkeypatch):
     assert _fold_batch_requested(8, cfg(32))
     assert not _fold_batch_requested(8, cfg(16))
     assert not _fold_batch_requested(1, cfg(32))  # b1 never folds
+    assert not _fold_batch_requested(16, cfg(32))  # >8 unproven on-chip
     monkeypatch.setenv("PREGO_FOLD_BATCH", "0")
     assert not _fold_batch_requested(8, cfg(32))
     monkeypatch.setenv("PREGO_FOLD_BATCH", "1")
