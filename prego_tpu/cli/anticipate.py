@@ -86,6 +86,10 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--seqs", type=str, default=None, help="path to a predictions/aggregated JSON")
     p.add_argument("--max_seq_len", type=int, default=512)
     p.add_argument("--max_batch_size", type=int, default=8)
+    p.add_argument("--orbax_dir", type=str, default=None,
+                   help="orbax cache of converted weights; with --quantize "
+                        "it holds the fused-int8 SERVING layout and later "
+                        "launches restore int8 directly (no bf16 stage)")
     p.add_argument("--quantize", action="store_true",
                    help="weight-only int8 serving for --llm jax-llama")
     p.add_argument("--kv_quant", action="store_true",
@@ -145,6 +149,7 @@ def main(argv: Optional[List[str]] = None):
             max_batch_size=args.max_batch_size,
             quantize=args.quantize,
             kv_quant=args.kv_quant,
+            orbax_dir=args.orbax_dir,
         )
 
     seqs, contexts, toy2class, idx2action, idx2emoji = load_assets(args)
