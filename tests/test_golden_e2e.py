@@ -112,3 +112,53 @@ def test_schema_check_on_reference_artifacts():
         out = osp.join(d, "agg.json")
         agg_main([ref_perframe, out])
         assert check_main(["aggregated", out, "--against", ref_agg, "--exact"]) == 0
+
+
+def test_jax_llama_cli_quantized_orbax_launch(tmp_path):
+    """The anticipate CLI through the int8 direct-restore startup: first
+    launch converts+quantizes+caches, second restores int8 straight from
+    --orbax_dir; both produce metrics."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from prego_tpu.cli.anticipate import main
+    from prego_tpu.models.llama import init_params, tiny_test_config
+    from tests.test_convert import _params_to_meta_state
+
+    cfg = tiny_test_config(vocab_size=258)  # byte tokenizer n_words
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    torch.save(_params_to_meta_state(params), ckpt / "consolidated.00.pth")
+    (ckpt / "params.json").write_text(json.dumps({
+        "dim": cfg.dim, "n_layers": cfg.n_layers, "n_heads": cfg.n_heads,
+        "n_kv_heads": cfg.n_kv_heads, "norm_eps": cfg.norm_eps,
+        "vocab_size": -1, "multiple_of": cfg.multiple_of,
+    }))
+    cache = tmp_path / "orbax_q8"
+
+    args = [
+        "--seqs", osp.join(GOLDEN, "synth_seqs.json"),
+        "--llm", "jax-llama",
+        "--ckpt_dir", str(ckpt),
+        "--tokenizer_path", "byte",
+        "--quantize",
+        "--orbax_dir", str(cache),
+        "--dataset", "synthcustom",
+        "--results_root", str(tmp_path / "r1"),
+        "--temperature", "0.0",
+        "--max_gen_len", "4",
+        "--max_seq_len", "128",
+    ]
+    main(args)
+    assert cache.is_dir()  # serving-layout cache written on first launch
+    first = next((tmp_path / "r1").glob("*/metrics.json"))
+
+    args[args.index(str(tmp_path / "r1"))] = str(tmp_path / "r2")
+    main(args)  # restores fused int8 directly
+    second = next((tmp_path / "r2").glob("*/metrics.json"))
+    g1, g2 = json.loads(first.read_text()), json.loads(second.read_text())
+    for k in NONDETERMINISTIC:
+        g1.pop(k, None), g2.pop(k, None)
+    assert g1 == g2
