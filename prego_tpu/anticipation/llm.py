@@ -192,8 +192,16 @@ class JaxLlamaLLM:
         orbax_dir: Optional[str] = None,  # sharded-format cache of converted weights
         quantize: bool = False,  # weight-only int8 serving (ops/quant.py)
         kv_quant: bool = False,  # int8 KV cache (model.init_cache(quantized=True))
+        fabricated: Optional[str] = None,  # "7b"/"13b": random weights at a
+        # reference serving shape (vocab 32000, byte tokenizer) — TIMING
+        # demonstrations of the full driver at scale, not real predictions
     ):
         self.prefix_cache = prefix_cache
+        if fabricated is not None:
+            self._init_fabricated(
+                fabricated, max_seq_len, max_batch_size, quantize, kv_quant
+            )
+            return
         import jax
         import jax.numpy as jnp
 
@@ -310,6 +318,55 @@ class JaxLlamaLLM:
             else:
                 params = fuse_projections(params)
         self.llama = Llama(params, tokenizer, config, kv_quant=kv_quant)
+
+    # reference serving shapes (llama/model.py:20-31 + Llama.build's
+    # 7B/13B checkpoints, generation.py:101-120); "1b"/"tiny" are
+    # smoke-scale stand-ins
+    _FABRICATED_SHAPES = {
+        "7b": dict(dim=4096, n_layers=32, n_heads=32),
+        "13b": dict(dim=5120, n_layers=40, n_heads=40),
+        "1b": dict(dim=2048, n_layers=16, n_heads=16),
+        "tiny": dict(dim=64, n_layers=2, n_heads=4),
+    }
+
+    def _init_fabricated(
+        self, shape: str, max_seq_len: int, max_batch_size: int,
+        quantize: bool, kv_quant: bool,
+    ):
+        """Random weights at a reference serving shape (full 32000-entry
+        lm-head; prompts go through the ByteTokenizer) — lets the REAL
+        driver run the complete anticipation workload at the reference's
+        scale for timing when no checkpoint assets exist in the image.
+        Output text is noise, so metrics from such runs are meaningless;
+        the run IS the measurement."""
+        import jax
+        import jax.numpy as jnp
+
+        from prego_tpu.models.llama import ByteTokenizer, Llama, LlamaConfig
+        from prego_tpu.models.llama.model import (
+            fuse_projections,
+            init_params,
+            init_params_quantized,
+        )
+
+        s = self._FABRICATED_SHAPES[shape]
+        cfg = LlamaConfig(
+            dim=s["dim"], n_layers=s["n_layers"], n_heads=s["n_heads"],
+            n_kv_heads=s["n_heads"],
+            vocab_size=32000 if shape in ("7b", "13b") else 258,
+            multiple_of=256 if shape != "tiny" else 16, norm_eps=1e-5,
+            max_batch_size=max_batch_size, max_seq_len=max_seq_len,
+        )
+        dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
+        if quantize:
+            params = init_params_quantized(cfg, jax.random.PRNGKey(0), fused=True)
+        else:
+            params = fuse_projections(
+                init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+            )
+        self.llama = Llama(params, ByteTokenizer(), cfg, kv_quant=kv_quant)
 
     def text_completion(
         self,

@@ -86,6 +86,11 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--seqs", type=str, default=None, help="path to a predictions/aggregated JSON")
     p.add_argument("--max_seq_len", type=int, default=512)
     p.add_argument("--max_batch_size", type=int, default=8)
+    p.add_argument("--fabricated", type=str, default=None,
+                   choices=["7b", "13b", "1b", "tiny"],
+                   help="random weights at a reference serving shape — "
+                        "TIMING runs of the full driver at scale (metrics "
+                        "are meaningless); no --ckpt_dir needed")
     p.add_argument("--orbax_dir", type=str, default=None,
                    help="orbax cache of converted weights; with --quantize "
                         "it holds the fused-int8 SERVING layout and later "
@@ -140,8 +145,11 @@ def main(argv: Optional[List[str]] = None):
             raise SystemExit("--llm hf requires --model_name")
         llm_kwargs["model_name"] = args.model_name
     elif args.llm == "jax-llama":
-        if not args.ckpt_dir or not args.tokenizer_path:
-            raise SystemExit("--llm jax-llama requires --ckpt_dir and --tokenizer_path")
+        if not args.fabricated and (not args.ckpt_dir or not args.tokenizer_path):
+            raise SystemExit(
+                "--llm jax-llama requires --ckpt_dir and --tokenizer_path "
+                "(or --fabricated for a timing run)"
+            )
         llm_kwargs.update(
             ckpt_dir=args.ckpt_dir,
             tokenizer_path=args.tokenizer_path,
@@ -150,6 +158,7 @@ def main(argv: Optional[List[str]] = None):
             quantize=args.quantize,
             kv_quant=args.kv_quant,
             orbax_dir=args.orbax_dir,
+            fabricated=args.fabricated,
         )
 
     seqs, contexts, toy2class, idx2action, idx2emoji = load_assets(args)

@@ -139,3 +139,22 @@ def test_ollama_llm_drives_anticipation(fake_ollama):
     # the fake server always anticipates 42 (cleaned to the int symbol)
     assert all(42 in s for s in result.preds["v0"])
     assert result.metrics is not None
+
+
+def test_jax_llama_fabricated_tiny_drives_cli(tmp_path):
+    """--fabricated runs the real driver with random weights at a named
+    shape (timing demonstrations; no checkpoint assets needed)."""
+    import json
+    import os.path as osp
+
+    from prego_tpu.cli.anticipate import main
+
+    golden = osp.join(osp.dirname(__file__), "golden", "synth_seqs.json")
+    main([
+        "--seqs", golden, "--llm", "jax-llama", "--fabricated", "tiny",
+        "--dataset", "synthcustom", "--results_root", str(tmp_path),
+        "--temperature", "0.0", "--max_gen_len", "4", "--max_seq_len", "128",
+    ])
+    out = next(tmp_path.glob("*/metrics.json"))
+    m = json.loads(out.read_text())
+    assert m["samples"] > 0
