@@ -754,8 +754,10 @@ def _q8_head_update(
     *, scale, int8_mxu: bool,
 ):
     """One head's streaming-softmax update against the staged int8 block
-    (shared by the per-batch-program and batch-folded q8 kernels)."""
-    k_sc = ks_buf[slot, g : g + 1]  # (1, Tb)
+    (shared by the per-batch-program and batch-folded q8 kernels).
+    ``g`` may be a Python int (unrolled heads) or a traced scalar
+    (fori_loop heads) — all indexing is dynamic-leading-dim safe."""
+    k_sc = ks_buf[slot, pl.ds(g, 1)]  # (1, Tb)
     if int8_mxu:
         # quantize the query per row so q@k runs int8 x int8 ->
         # int32 on the MXU (int8 operands straight into the dot —
@@ -798,7 +800,7 @@ def _q8_head_update(
 
     l_new = l_ref[g][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
     # fold the per-position v scale into p
-    pv = p * vs_buf[slot, g : g + 1]  # (R, Tb)
+    pv = p * vs_buf[slot, pl.ds(g, 1)]  # (R, Tb)
     if int8_mxu:
         # quantize p per row at int16-equivalent precision emulated
         # as TWO 7-bit int8 dots (hi/lo split): single-int8 p costs
@@ -854,6 +856,7 @@ def _decode_kernel_bounded_q8(
     t_block: int,
     head_dim: int,
     int8_mxu: bool,
+    head_loop: bool = False,
 ):
     b = pl.program_id(0)
     valid = valid_ref[0, 0]
@@ -890,19 +893,36 @@ def _decode_kernel_bounded_q8(
             d.wait()
         base = i * t_block
 
-        for g in range(kv_heads):
+        def _upd(g):
             _q8_head_update(
                 g, q_ref[0, g], slot, base, valid,
                 kq_buf, ks_buf, vq_buf, vs_buf, m_ref, l_ref, acc_ref,
                 scale=scale, int8_mxu=int8_mxu,
             )
+
+        if head_loop:
+            # fori_loop over heads: the unrolled body at many-KV-head
+            # shapes (40 at 13B) can stall the Mosaic compile; the loop
+            # keeps the body one head wide at a small interleave cost
+            jax.lax.fori_loop(
+                0, kv_heads, lambda g, c: (_upd(g), c)[1], 0
+            )
+        else:
+            for g in range(kv_heads):
+                _upd(g)
         return carry
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
-    for g in range(kv_heads):
+    def _emit(g):
         denom = jnp.maximum(l_ref[g][:, :1], 1e-30)
         out_ref[0, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
+
+    if head_loop:
+        jax.lax.fori_loop(0, kv_heads, lambda g, c: (_emit(g), c)[1], 0)
+    else:
+        for g in range(kv_heads):
+            _emit(g)
 
 
 def _decode_kernel_bounded_q8_fold(
@@ -922,6 +942,7 @@ def _decode_kernel_bounded_q8_fold(
     t_block: int,
     head_dim: int,
     int8_mxu: bool,
+    head_loop: bool = False,
 ):
     """Batch-FOLDED int8-KV variant (see _decode_kernel_bounded_fold):
     one grid program walks a flat (b, block) sequence so the 4-stream DMA
@@ -968,18 +989,33 @@ def _decode_kernel_bounded_q8_fold(
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         base = i * t_block
-        for g in range(kv_heads):
+
+        def _upd(g):
             _q8_head_update(
                 g, q_ref[b, g], slot, base, valid,
                 kq_buf, ks_buf, vq_buf, vs_buf, m_ref, l_ref, acc_ref,
                 scale=scale, int8_mxu=int8_mxu,
             )
 
+        def _emit(g):
+            denom = jnp.maximum(l_ref[g][:, :1], 1e-30)
+            out_ref[b, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
+
+        if head_loop:
+            jax.lax.fori_loop(0, kv_heads, lambda g, c: (_upd(g), c)[1], 0)
+        else:
+            for g in range(kv_heads):
+                _upd(g)
+
         @pl.when(i == n_blocks - 1)
         def _():
-            for g in range(kv_heads):
-                denom = jnp.maximum(l_ref[g][:, :1], 1e-30)
-                out_ref[b, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
+            if head_loop:
+                jax.lax.fori_loop(
+                    0, kv_heads, lambda g, c: (_emit(g), c)[1], 0
+                )
+            else:
+                for g in range(kv_heads):
+                    _emit(g)
 
         return carry
 
@@ -997,6 +1033,7 @@ def decode_attention_bounded_q8(
     interpret: bool = False,
     int8_mxu: bool = False,
     fold_batch: bool = False,
+    head_loop: bool = None,
 ) -> jax.Array:
     """Bounded flash decode over an int8 KV cache (per-position-per-head
     symmetric scales): halves decode HBM cache traffic and doubles the
@@ -1006,7 +1043,16 @@ def decode_attention_bounded_q8(
     path's sub-ms, so ``int8_mxu=True`` is kept for re-evaluation on
     hardware whose Mosaic lowers it natively. ``fold_batch`` runs the
     whole batch in ONE grid program (flat (b, block) walk), like
-    decode_attention_bounded's fold variant."""
+    decode_attention_bounded's fold variant. ``head_loop`` switches the
+    per-head unroll to a fori_loop (default: auto-on at > 32 kv heads,
+    where the unrolled body stalls the Mosaic compile — observed at the
+    13B shape; PREGO_Q8_HEAD_LOOP=1/0 forces)."""
+    import os
+
+    if head_loop is None:
+        env = os.environ.get("PREGO_Q8_HEAD_LOOP")
+        q8hl = env == "1" if env is not None else None
+        head_loop = q8hl if q8hl is not None else q.shape[1] > 32
     B, KV, R, hd = q.shape
     T = cache_kq.shape[2]
     t_block = min(t_block, T)
@@ -1018,7 +1064,7 @@ def decode_attention_bounded_q8(
         kernel = functools.partial(
             _decode_kernel_bounded_q8_fold,
             batch=B, kv_heads=KV, t_block=t_block, head_dim=hd,
-            int8_mxu=int8_mxu,
+            int8_mxu=int8_mxu, head_loop=head_loop,
         )
         return pl.pallas_call(
             kernel,
@@ -1047,7 +1093,7 @@ def decode_attention_bounded_q8(
 
     kernel = functools.partial(
         _decode_kernel_bounded_q8, kv_heads=KV, t_block=t_block, head_dim=hd,
-        int8_mxu=int8_mxu,
+        int8_mxu=int8_mxu, head_loop=head_loop,
     )
     return pl.pallas_call(
         kernel,

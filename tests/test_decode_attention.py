@@ -294,3 +294,27 @@ def test_fold_batch_default_is_shape_aware(monkeypatch):
     assert not _fold_batch_requested(8, cfg(32))
     monkeypatch.setenv("PREGO_FOLD_BATCH", "1")
     assert _fold_batch_requested(8, cfg(16))
+
+
+@pytest.mark.parametrize("fold", [False, True])
+def test_q8_head_loop_matches_unrolled(rng, fold):
+    """fori_loop-over-heads variant (compile-size lever for many-KV-head
+    shapes, auto-on above 32 heads) must equal the unrolled walk."""
+    B, KV, R, hd, T = 2, 4, 1, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+
+    from prego_tpu.ops.decode_attention import decode_attention_bounded_q8
+
+    args = (jnp.asarray(q), jnp.asarray(kq), jnp.asarray(ks),
+            jnp.asarray(vq), jnp.asarray(vs), jnp.int32(300))
+    unrolled = decode_attention_bounded_q8(
+        *args, t_block=256, interpret=True, fold_batch=fold, head_loop=False
+    )
+    looped = decode_attention_bounded_q8(
+        *args, t_block=256, interpret=True, fold_batch=fold, head_loop=True
+    )
+    np.testing.assert_array_equal(np.asarray(unrolled), np.asarray(looped))
