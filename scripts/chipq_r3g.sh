@@ -1,0 +1,23 @@
+#!/bin/bash
+# Round-3 chip-job queue, take 7 — retries on the post-a4b4463 build:
+# 13B+kv8 now compiles with fori_loop heads (40-head unrolled body is
+# the stall suspect); b16/b32 run UNfolded (auto-gate restricted to
+# batch<=8); train b16 re-measured outside the earlier slow patch.
+#   bash scripts/chipq_r3g.sh 2>&1 | tee /tmp/chipq_r3g.log
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  echo
+  echo "#### $(date -u +%H:%M:%S) $*"
+  timeout 5400 "$@"
+  echo "#### rc=$? $(date -u +%H:%M:%S)"
+  sleep 20
+}
+
+run python scripts/bench_llm.py --case decode_13b_int8_kv8 --watchdog 1800
+run python scripts/bench_llm.py --case decode_7b_b16_int8_kv8 --watchdog 1200
+run python scripts/bench_llm.py --case decode_7b_b32_int8_kv8 --watchdog 1200
+run python scripts/bench_train.py --batch 16 --reps 50
+
+echo QUEUE_DONE
