@@ -7,7 +7,22 @@
 set -u
 cd "$(dirname "$0")/.."
 
+
+wait_for_tunnel() {
+  # the tunnel has multi-hour dark patches; do not burn per-job timeouts
+  # against a dead backend — probe with a tiny op until it answers
+  for i in $(seq 1 60); do
+    if timeout 180 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+      echo "tunnel live (probe $i)"; return 0
+    fi
+    echo "tunnel dark (probe $i), waiting 120s"
+    sleep 120
+  done
+  echo "tunnel still dark after all probes; proceeding anyway"
+}
+
 run() {
+  wait_for_tunnel
   echo
   echo "#### $(date -u +%H:%M:%S) $*"
   timeout 5400 "$@"
