@@ -35,4 +35,10 @@ run python scripts/bench_llm.py --case decode_7b_b16_int8_kv8 --watchdog 1200
 run python scripts/bench_llm.py --case decode_7b_b32_int8_kv8 --watchdog 1200
 run python scripts/bench_train.py --batch 16 --reps 50
 
+# b1 q8-fusion END-TO-END A/B (the ladder measured -2.7% marginal for
+# +allq8 at b1; decide the default flip only if e2e also wins)
+run python scripts/bench_llm.py --case decode_7b_int8
+run env PREGO_FUSED_FFN_Q8=1 PREGO_FUSED_DENSE_Q8=1 \
+    python scripts/bench_llm.py --case decode_7b_int8
+
 echo QUEUE_DONE
