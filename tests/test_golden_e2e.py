@@ -162,3 +162,26 @@ def test_jax_llama_cli_quantized_orbax_launch(tmp_path):
     for k in NONDETERMINISTIC:
         g1.pop(k, None), g2.pop(k, None)
     assert g1 == g2
+
+
+REF_DATA = "/root/reference/step_anticipation/data"
+
+
+@pytest.mark.skipif(not osp.isdir(REF_DATA), reason="reference assets absent")
+def test_epictent_fake_llm_e2e_on_reference_assets(tmp_path):
+    """The Epic-tent-O branch of the reference workload (the OTHER
+    dataset llama_meta.py serves) drives end-to-end on the reference's
+    shipped predictions + flat context prompt: 162 mistake-detection
+    steps, deterministic fake-LLM counts pinned."""
+    from prego_tpu.cli.anticipate import main
+
+    main([
+        "--llm", "fake", "--dataset", "epictent",
+        "--data_root", REF_DATA,
+        "--results_root", str(tmp_path),
+        "--temperature", "0.0",
+    ])
+    out = next(tmp_path.glob("*/metrics.json"))
+    m = json.loads(out.read_text())
+    assert m["samples"] == 162
+    assert m["tp"] + m["fp"] + m["fn"] + m["tn"] == 162
