@@ -1,0 +1,46 @@
+"""Smoke tests for the bench entry points' CPU (--tiny) paths.
+
+The real measurements run on-chip via the queue scripts; these guard the
+scripts' import/arg/JSON surfaces from bit-rot (a broken case name or
+output schema would otherwise only surface mid-queue on the chip).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args):
+    proc = subprocess.run(
+        [sys.executable] + args,
+        cwd=REPO,
+        env={**os.environ, "PREGO_PLATFORM": "cpu"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    rows = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert rows, proc.stdout
+    return rows
+
+
+def test_bench_llm_tiny_decode_case():
+    (row,) = _run(["scripts/bench_llm.py", "--case", "decode_b1", "--tiny"])
+    assert row["case"] == "decode_b1" and row["value"] > 0
+
+
+def test_bench_llm_tiny_skip_cases_keep_names():
+    (row,) = _run(["scripts/bench_llm.py", "--case", "decode_13b_int8", "--tiny"])
+    assert row == {"case": "decode_13b_b1_int8", "skipped": "tiny"}
+
+
+def test_bench_train_tiny_both_backends():
+    rows = _run(["scripts/bench_train.py", "--tiny", "--reps", "1"])
+    cases = {r["case"] for r in rows}
+    assert cases == {"train_step_b4_scan", "train_step_b4_pallas_train"}
+    assert all(r["frames_per_s"] > 0 for r in rows)
