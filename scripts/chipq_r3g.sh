@@ -41,4 +41,8 @@ run python scripts/bench_llm.py --case decode_7b_int8
 run env PREGO_FUSED_FFN_Q8=1 PREGO_FUSED_DENSE_Q8=1 \
     python scripts/bench_llm.py --case decode_7b_int8
 
+# driver-shaped bench.py at HEAD (validates the sb2 extra end-to-end;
+# the r3e slot for this died against the dark tunnel)
+run python bench.py
+
 echo QUEUE_DONE
