@@ -693,8 +693,10 @@ def _fold_batch_requested(batch: int, config: "LlamaConfig" = None) -> bool:
     +25 ms per call — a net loss for short serving calls.  Default is
     therefore shape-aware: AUTO-ON for 1 < batch <= 8 at >= 24 layers
     (the measured regime; larger batches stay opt-in until their
-    on-chip compiles are proven — a b16 fold compile stalled past the
-    900 s watchdog in r3).  PREGO_FOLD_BATCH=1/0 forces either way."""
+    on-chip compiles are proven — a b16 fold compile tripped a 900 s
+    watchdog in r3, though later timeline evidence points at a tunnel
+    outage window rather than the kernel; the r3g retries
+    disambiguate).  PREGO_FOLD_BATCH=1/0 forces either way."""
     import os
 
     if batch <= 1:
