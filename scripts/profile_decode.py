@@ -15,6 +15,10 @@ Variants (all iterate the same 16-layer x gen_len structure):
   attention_only— flash kernel + cache update alone
 
 Run: python scripts/profile_decode.py [--gen 128] [--batch 8]
+     python scripts/profile_decode.py --shape 7b --quantize [--kv_quant]
+       (the reference serving shapes: vocab 32000, int8 weights built
+       directly via init_params_quantized — bf16 7B does not fit the
+       chip; the printed floor is the int8 weight-stream bound)
 """
 
 import argparse
@@ -29,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(cfg, mode: str):
+def build(cfg, mode: str, kv_quant: bool = False):
     # params/rope are jit ARGUMENTS — closing over them would bake the
     # full weight set into the trace as captured constants (1.7 GB at
     # the 1B shape), which the remote compile helper must ingest.
@@ -76,7 +80,7 @@ def build(cfg, mode: str):
 
     def run(params, rope, tokens, gen_len):
         B = tokens.shape[0]
-        cache = init_cache(cfg, B, dtype=params["norm"].dtype)
+        cache = init_cache(cfg, B, dtype=params["norm"].dtype, quantized=kv_quant)
         cos_full, sin_full = rope
 
         def body(i, carry):
@@ -110,25 +114,59 @@ def main():
         default="full,matmuls_only,no_attention,attention_only",
         help="comma-separated subset (each variant costs a slow remote compile)",
     )
+    ap.add_argument(
+        "--shape", choices=("1b", "7b", "13b", "tiny"), default="1b",
+        help="1b = the byte-vocab A/B shape; 7b/13b = the reference "
+        "serving shapes (vocab 32000, require --quantize to fit the chip)",
+    )
+    ap.add_argument("--quantize", action="store_true",
+                    help="weight-only int8 (init_params_quantized)")
+    ap.add_argument("--kv_quant", action="store_true", help="int8 KV cache")
     args = ap.parse_args()
 
     from prego_tpu.models.llama import ByteTokenizer, LlamaConfig, init_params
-    from prego_tpu.models.llama.model import fuse_projections, precompute_rope
+    from prego_tpu.models.llama.model import (
+        fuse_projections, init_params_quantized, precompute_rope,
+    )
 
-    tok = ByteTokenizer()
+    shapes = {
+        # 1b keeps the byte vocab + max_seq 512 of the r2/r3 A/B runs
+        "1b": dict(dim=2048, n_layers=16, n_heads=16,
+                   vocab_size=ByteTokenizer().n_words, max_seq=512),
+        # the reference's served sizes (bench_llm._REF_SHAPES), vocab
+        # 32000 so the lm-head read is in every variant, max_seq 256
+        "7b": dict(dim=4096, n_layers=32, n_heads=32,
+                   vocab_size=32000, max_seq=256),
+        "13b": dict(dim=5120, n_layers=40, n_heads=40,
+                    vocab_size=32000, max_seq=256),
+        "tiny": dict(dim=256, n_layers=2, n_heads=4,
+                     vocab_size=512, max_seq=64),  # CPU smoke
+    }
+    s = shapes[args.shape]
     cfg = LlamaConfig(
-        dim=2048, n_layers=16, n_heads=16, n_kv_heads=16, vocab_size=tok.n_words,
-        multiple_of=256, norm_eps=1e-5, max_batch_size=args.batch, max_seq_len=512,
+        dim=s["dim"], n_layers=s["n_layers"], n_heads=s["n_heads"],
+        n_kv_heads=s["n_heads"], vocab_size=s["vocab_size"],
+        multiple_of=256, norm_eps=1e-5, max_batch_size=args.batch,
+        max_seq_len=s["max_seq"],
     )
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    params = fuse_projections(init_params(cfg, jax.random.PRNGKey(0), dtype=dtype))
+    if args.quantize:
+        params = init_params_quantized(cfg, jax.random.PRNGKey(0), fused=True)
+    else:
+        if args.shape in ("7b", "13b") and jax.default_backend() == "tpu":
+            sys.exit("bf16 7b/13b does not fit one v5e — pass --quantize")
+        params = fuse_projections(
+            init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+        )
     rope = precompute_rope(cfg)
-    tokens = jnp.asarray(np.arange(args.batch) % 200 + 4, jnp.int32)
+    tokens = jnp.asarray(
+        np.arange(args.batch) % min(200, cfg.vocab_size - 5) + 4, jnp.int32
+    )
 
     sync = jax.jit(lambda t: jnp.sum(t))
     results = {}
     for mode in args.modes.split(","):
-        fn = build(cfg, mode)
+        fn = build(cfg, mode, kv_quant=args.kv_quant)
         t0 = time.perf_counter()
         out = fn(params, rope, tokens, args.gen)
         float(sync(out))
@@ -149,6 +187,11 @@ def main():
         print(f"  attention marginal (full - no_attention): {full - noat:.3f} ms")
         print(f"  pointwise+sched   (no_attention - matmuls_only): {noat - mm:.3f} ms")
         print(f"  matmul (HBM) core : {mm:.3f} ms")
+    if args.quantize:
+        D, F, V, L = cfg.dim, cfg.ffn_hidden, cfg.vocab_size, cfg.n_layers
+        stream_gb = (D * V + L * (D * 3 * D + D * D + D * 2 * F + F * D)) / 1e9
+        print(f"  int8 weight-stream floor: {stream_gb / 0.819:.3f} ms"
+              f" ({stream_gb:.2f} GB @ 819 GB/s)")
 
 
 if __name__ == "__main__":
