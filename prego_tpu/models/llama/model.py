@@ -467,6 +467,7 @@ def _attention(
                 q[:, 0], cache_k["q"], cache_k["s"],
                 cache_v["q"], cache_v["s"], start_pos + 1,
                 fold_batch=_fold_batch_requested(B, config),
+                head_group=_head_group_requested(B, config),
             )
         elif (
             not isinstance(p["wo"], dict)  # bf16 leaf (not int8)
@@ -497,6 +498,7 @@ def _attention(
             out = decode_attention_bounded(
                 q[:, 0], cache_k, cache_v, start_pos + 1,
                 fold_batch=_fold_batch_requested(B, config),
+                head_group=_head_group_requested(B, config),
             )  # (B, KV, R, hd); HBM reads stop at the valid cache length
         out = out.reshape(B, 1, H * hd).astype(x.dtype)
     else:
@@ -705,6 +707,26 @@ def _fold_batch_requested(batch: int, config: "LlamaConfig" = None) -> bool:
     if env is not None:
         return env == "1"
     return config is not None and config.n_layers >= 24 and batch <= 8
+
+
+def _head_group_requested(batch: int, config: "LlamaConfig" = None) -> int:
+    """Flat-head group size for the bounded decode-attention kernels:
+    stack G heads per score/value matmul pair (ops/decode_attention.py
+    ``_flat_group_update``) instead of serializing kv_heads tiny R-row
+    dots per block — the per-(batch,head) op-issue residue that grows
+    with batch at the 7B/13B shapes (RESULTS.md batch sweep: 55% -> 41%
+    -> 27% of floor at b8/b16/b32).  Opt-in until measured on chip:
+    PREGO_HEAD_GROUP=<G> requests a group size (clamped to a divisor of
+    kv_heads by _fit_head_group; 0/1/unset = off)."""
+    import os
+
+    env = os.environ.get("PREGO_HEAD_GROUP")
+    if env is None:
+        return 1
+    try:
+        return max(int(env), 1)
+    except ValueError:
+        return 1
 
 
 def forward(

@@ -507,6 +507,196 @@ def _decode_kernel_bounded_fold(
     jax.lax.fori_loop(0, total, body, 0)
 
 
+def _fit_head_group(head_group: int, kv_heads: int, rows_per_head: int) -> int:
+    """Largest usable flat-head group <= the requested one: must divide
+    kv_heads (static group walk) and keep the group's stacked query rows
+    (G * R) a multiple of 8, because the flat kernels slice the running
+    (m, l, acc) scratch along the SUBLANE dim at group offsets.  Returns
+    1 (flat path disabled) when nothing fits."""
+    g = min(head_group, kv_heads)
+    while g > 1:
+        if kv_heads % g == 0 and (g * rows_per_head) % 8 == 0:
+            return g
+        g -= 1
+    return 1
+
+
+def _flat_group_update(
+    g0,  # python int — first head of the group
+    group,  # python int — heads stacked into this update
+    q_rows,  # (G*R, hd) — the group's queries, head-major rows
+    slot, base, valid,
+    k_buf, v_buf,  # (2, KV, Tb, hd) staged block (int8 when quantized)
+    ks_buf, vs_buf,  # (2, KV, Tb) f32 scales, or None (bf16 cache)
+    m_ref, l_ref, acc_ref,  # FLAT scratch: (KV*R, 128/128/hd) f32
+    *,
+    scale, t_block: int, rows_per_head: int,
+):
+    """Streaming-softmax update for ``group`` heads STACKED into one
+    matmul pair.  The per-head R=1 dots of _q8_head_update/_decode_kernel
+    use one MXU row each and serialize KV-many tiny ops per block; here
+    the group's queries form a (G*R, hd) operand against the group's
+    cache block flattened to (G*Tb, hd), so scores come out as ONE
+    (G*R, G*Tb) matmul whose off-diagonal head pairs are masked to -1e30
+    (softmax) and exact 0 (value contraction).  The redundant cross-head
+    FLOPs are G x, but these matmuls underfilled the MXU by ~G x to begin
+    with — op-issue count drops G x for roughly constant MXU time.
+
+    The (KV, Tb, hd) -> (G*Tb, hd) reshape merges a leading (untiled) dim
+    into the sublane dim; with Tb % 8 == 0 both layouts tile identically,
+    so Mosaic lowers it as a no-op view."""
+    G, R, Tb = group, rows_per_head, t_block
+    rows = G * R
+    quantized = ks_buf is not None
+
+    kg = k_buf[slot][g0 : g0 + G]  # (G, Tb, hd) — static head slice
+    vg = v_buf[slot][g0 : g0 + G]
+    k2 = kg.reshape(G * Tb, kg.shape[-1])
+    v2 = vg.reshape(G * Tb, vg.shape[-1])
+    if quantized:
+        # VPU-dequant the staged tiles (int8 MXU contraction is a slow
+        # Mosaic fallback on v5e — see _q8_head_update); per-position
+        # scales ride on the score columns / p rows instead of the tiles
+        k2 = k2.astype(jnp.bfloat16)
+        v2 = v2.astype(jnp.bfloat16)
+        q_rows = q_rows.astype(jnp.bfloat16)
+        # (1, G*Tb) scale rows: lane-concat of per-head (1, Tb) strips —
+        # a (KV, Tb) -> (1, KV*Tb) reshape would relayout TILED dims
+        ks_row = jnp.concatenate(
+            [ks_buf[slot, g0 + j][None, :] for j in range(G)], axis=1
+        )
+        vs_row = jnp.concatenate(
+            [vs_buf[slot, g0 + j][None, :] for j in range(G)], axis=1
+        )
+
+    s = (
+        jax.lax.dot_general(
+            q_rows, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )  # (G*R, G*Tb)
+    if quantized:
+        s = s * ks_row
+
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    col_head = col // Tb
+    pos = base + (col - col_head * Tb)
+    keep = (col_head == row // R) & (pos < valid)
+    s = jnp.where(keep, s, -1e30)
+
+    rs = pl.ds(g0 * R, rows)  # 8-aligned sublane slice (see _fit_head_group)
+    m_old = m_ref[rs][:, :1]  # (rows, 1)
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    # exact zeros off-diagonal and beyond valid: cross-head columns must
+    # contribute nothing to l or to the value contraction
+    p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
+
+    l_new = l_ref[rs][:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    pv = p * vs_row if quantized else p
+    contrib = jax.lax.dot_general(
+        pv.astype(v2.dtype), v2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, hd)
+    acc_ref[rs] = acc_ref[rs] * alpha + contrib
+    m_ref[rs] = jnp.broadcast_to(m_new, (rows, m_ref.shape[-1]))
+    l_ref[rs] = jnp.broadcast_to(l_new, (rows, l_ref.shape[-1]))
+
+
+def _decode_kernel_bounded_fold_flat(
+    valid_ref,  # (1, 1) SMEM int32
+    q_ref,  # (B, KV*R, hd) VMEM — queries flattened head-major
+    k_hbm,  # (B, KV, T, hd) ANY/HBM
+    v_hbm,
+    out_ref,  # (B, KV*R, hd) VMEM
+    k_buf,  # (2, KV, Tb, hd) VMEM scratch
+    v_buf,
+    m_ref,  # (KV*R, 128) f32 scratch — FLAT across heads
+    l_ref,
+    acc_ref,  # (KV*R, hd) f32
+    sem,
+    *,
+    batch: int,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+    head_group: int,
+    rows_per_head: int,
+):
+    """Batch-folded walk (see _decode_kernel_bounded_fold) with the
+    per-head update replaced by _flat_group_update: kv_heads/head_group
+    stacked matmul pairs per block instead of kv_heads serial R-row
+    dots — the per-(batch,head) op-issue cost that dominates the 7B/13B
+    B>1 decode residue (RESULTS.md batch sweep)."""
+    valid = valid_ref[0, 0]
+    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
+    total = batch * n_blocks
+
+    def k_dma(slot, flat):
+        b = flat // n_blocks
+        idx = flat - b * n_blocks
+        return pltpu.make_async_copy(
+            k_hbm.at[b, :, pl.ds(idx * t_block, t_block), :],
+            k_buf.at[slot],
+            sem.at[slot, 0],
+        )
+
+    def v_dma(slot, flat):
+        b = flat // n_blocks
+        idx = flat - b * n_blocks
+        return pltpu.make_async_copy(
+            v_hbm.at[b, :, pl.ds(idx * t_block, t_block), :],
+            v_buf.at[slot],
+            sem.at[slot, 1],
+        )
+
+    k_dma(0, 0).start()
+    v_dma(0, 0).start()
+    scale = jax.lax.rsqrt(jnp.asarray(head_dim, jnp.float32))
+
+    def body(f, carry):
+        slot = jax.lax.rem(f, 2)
+        nxt = jax.lax.rem(f + 1, 2)
+
+        @pl.when(f + 1 < total)
+        def _():
+            k_dma(nxt, f + 1).start()
+            v_dma(nxt, f + 1).start()
+
+        k_dma(slot, f).wait()
+        v_dma(slot, f).wait()
+        b = f // n_blocks
+        i = f - b * n_blocks
+
+        @pl.when(i == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, -1e30)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        base = i * t_block
+        for gi in range(kv_heads // head_group):
+            g0 = gi * head_group
+            _flat_group_update(
+                g0, head_group,
+                q_ref[b, pl.ds(g0 * rows_per_head, head_group * rows_per_head)],
+                slot, base, valid,
+                k_buf, v_buf, None, None, m_ref, l_ref, acc_ref,
+                scale=scale, t_block=t_block, rows_per_head=rows_per_head,
+            )
+
+        @pl.when(i == n_blocks - 1)
+        def _():
+            denom = jnp.maximum(l_ref[:, :1], 1e-30)
+            out_ref[b] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+        return carry
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
 def decode_attention_bounded(
     q: jax.Array,  # (B, KV, R, hd)
     cache_k: jax.Array,  # (B, KV, T, hd)
@@ -515,6 +705,7 @@ def decode_attention_bounded(
     t_block: int = 256,
     interpret: bool = False,
     fold_batch: bool = False,
+    head_group: int = 1,
 ) -> jax.Array:
     """Flash-decode variant whose HBM cache reads stop at valid_len: the
     block walk is a dynamic-trip fori_loop with manual double-buffered
@@ -523,7 +714,10 @@ def decode_attention_bounded(
     serving occupancy (~1.5k of 2048, or 136 of 512 in the decode bench)
     this removes most of the 0.67 ms/step full-window KV read.
     ``fold_batch`` runs the whole batch in ONE grid program (flat
-    (b, block) walk) so the DMA pipeline crosses batch-row boundaries."""
+    (b, block) walk) so the DMA pipeline crosses batch-row boundaries.
+    ``head_group`` > 1 additionally stacks that many heads into each
+    score/value matmul pair (_flat_group_update) — implies the folded
+    walk; requests that don't fit (_fit_head_group) fall back."""
     B, KV, R, hd = q.shape
     T = cache_k.shape[2]
     t_block = min(t_block, T)
@@ -531,6 +725,34 @@ def decode_attention_bounded(
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
 
     valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    head_group = _fit_head_group(head_group, KV, R)
+    if head_group > 1:
+        kernel = functools.partial(
+            _decode_kernel_bounded_fold_flat,
+            batch=B, kv_heads=KV, t_block=t_block, head_dim=hd,
+            head_group=head_group, rows_per_head=R,
+        )
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, KV * R, hd), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, KV, t_block, hd), cache_k.dtype),
+                pltpu.VMEM((2, KV, t_block, hd), cache_v.dtype),
+                pltpu.VMEM((KV * R, 128), jnp.float32),
+                pltpu.VMEM((KV * R, 128), jnp.float32),
+                pltpu.VMEM((KV * R, hd), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+        )(valid, q.reshape(B, KV * R, hd), cache_k, cache_v)
+        return out.reshape(B, KV, R, hd)
     if fold_batch:
         kernel = functools.partial(
             _decode_kernel_bounded_fold,
@@ -1022,6 +1244,90 @@ def _decode_kernel_bounded_q8_fold(
     jax.lax.fori_loop(0, total, body, 0)
 
 
+def _decode_kernel_bounded_q8_fold_flat(
+    valid_ref,  # (1, 1) SMEM int32
+    q_ref,  # (B, KV*R, hd) VMEM — queries flattened head-major
+    kq_hbm,  # (B, KV, T, hd) int8
+    ks_hbm,  # (B, KV, T) f32
+    vq_hbm,  # (B, KV, T, hd) int8
+    vs_hbm,  # (B, KV, T) f32
+    out_ref,  # (B, KV*R, hd) VMEM
+    kq_buf, ks_buf, vq_buf, vs_buf,  # double-buffered block scratch
+    m_ref, l_ref, acc_ref,  # FLAT (KV*R, 128/128/hd) f32
+    sem,  # DMA semaphores (2 slots x 4 streams)
+    *,
+    batch: int,
+    kv_heads: int,
+    t_block: int,
+    head_dim: int,
+    head_group: int,
+    rows_per_head: int,
+):
+    """int8-KV batch-folded walk with stacked-head updates — the
+    production 7B/13B B>1 serving kernel shape (see
+    _decode_kernel_bounded_fold_flat).  Dequant stays on the VPU; the
+    per-position k/v scales ride the flat score columns / p rows
+    (_flat_group_update)."""
+    valid = valid_ref[0, 0]
+    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
+    total = batch * n_blocks
+
+    def dmas(slot, flat):
+        b = flat // n_blocks
+        idx = flat - b * n_blocks
+        sl = pl.ds(idx * t_block, t_block)
+        return [
+            pltpu.make_async_copy(kq_hbm.at[b, :, sl, :], kq_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(ks_hbm.at[b, :, sl], ks_buf.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(vq_hbm.at[b, :, sl, :], vq_buf.at[slot], sem.at[slot, 2]),
+            pltpu.make_async_copy(vs_hbm.at[b, :, sl], vs_buf.at[slot], sem.at[slot, 3]),
+        ]
+
+    for d in dmas(0, 0):
+        d.start()
+    scale = jax.lax.rsqrt(jnp.asarray(head_dim, jnp.float32))
+
+    def body(f, carry):
+        slot = jax.lax.rem(f, 2)
+        nxt = jax.lax.rem(f + 1, 2)
+
+        @pl.when(f + 1 < total)
+        def _():
+            for d in dmas(nxt, f + 1):
+                d.start()
+
+        for d in dmas(slot, f):
+            d.wait()
+        b = f // n_blocks
+        i = f - b * n_blocks
+
+        @pl.when(i == 0)
+        def _():
+            m_ref[:] = jnp.full_like(m_ref, -1e30)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        base = i * t_block
+        for gi in range(kv_heads // head_group):
+            g0 = gi * head_group
+            _flat_group_update(
+                g0, head_group,
+                q_ref[b, pl.ds(g0 * rows_per_head, head_group * rows_per_head)],
+                slot, base, valid,
+                kq_buf, vq_buf, ks_buf, vs_buf, m_ref, l_ref, acc_ref,
+                scale=scale, t_block=t_block, rows_per_head=rows_per_head,
+            )
+
+        @pl.when(i == n_blocks - 1)
+        def _():
+            denom = jnp.maximum(l_ref[:, :1], 1e-30)
+            out_ref[b] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+        return carry
+
+    jax.lax.fori_loop(0, total, body, 0)
+
+
 def decode_attention_bounded_q8(
     q: jax.Array,  # (B, KV, R, hd)
     cache_kq: jax.Array,  # (B, KV, T, hd) int8
@@ -1034,6 +1340,7 @@ def decode_attention_bounded_q8(
     int8_mxu: bool = False,
     fold_batch: bool = False,
     head_loop: bool = None,
+    head_group: int = 1,
 ) -> jax.Array:
     """Bounded flash decode over an int8 KV cache (per-position-per-head
     symmetric scales): halves decode HBM cache traffic and doubles the
@@ -1046,7 +1353,10 @@ def decode_attention_bounded_q8(
     decode_attention_bounded's fold variant. ``head_loop`` switches the
     per-head unroll to a fori_loop (default: auto-on at > 32 kv heads,
     where the unrolled body stalls the Mosaic compile — observed at the
-    13B shape; PREGO_Q8_HEAD_LOOP=1/0 forces)."""
+    13B shape; PREGO_Q8_HEAD_LOOP=1/0 forces). ``head_group`` > 1 stacks
+    that many heads per matmul pair (_flat_group_update; implies the
+    folded walk, VPU-dequant mode only — int8_mxu keeps the per-head
+    path)."""
     import os
 
     if head_loop is None:
@@ -1060,6 +1370,38 @@ def decode_attention_bounded_q8(
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
 
     valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    head_group = 1 if int8_mxu else _fit_head_group(head_group, KV, R)
+    if head_group > 1:
+        kernel = functools.partial(
+            _decode_kernel_bounded_q8_fold_flat,
+            batch=B, kv_heads=KV, t_block=t_block, head_dim=hd,
+            head_group=head_group, rows_per_head=R,
+        )
+        out = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, KV * R, hd), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, KV, t_block, hd), jnp.int8),
+                pltpu.VMEM((2, KV, t_block), jnp.float32),
+                pltpu.VMEM((2, KV, t_block, hd), jnp.int8),
+                pltpu.VMEM((2, KV, t_block), jnp.float32),
+                pltpu.VMEM((KV * R, 128), jnp.float32),
+                pltpu.VMEM((KV * R, 128), jnp.float32),
+                pltpu.VMEM((KV * R, hd), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ],
+            interpret=interpret,
+        )(valid, q.reshape(B, KV * R, hd), cache_kq, cache_ks, cache_vq, cache_vs)
+        return out.reshape(B, KV, R, hd)
     if fold_batch:
         kernel = functools.partial(
             _decode_kernel_bounded_q8_fold,

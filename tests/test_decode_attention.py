@@ -150,6 +150,125 @@ def test_q8_matches_dequantized_reference(rng, valid, int8_mxu, fold):
     assert err.mean() / norm < 0.003
 
 
+def test_fit_head_group():
+    """Group must divide kv_heads and keep G*R sublane-slice aligned."""
+    from prego_tpu.ops.decode_attention import _fit_head_group
+
+    assert _fit_head_group(32, 32, 1) == 32
+    assert _fit_head_group(16, 32, 1) == 16
+    assert _fit_head_group(12, 32, 1) == 8  # 12 doesn't divide 32
+    assert _fit_head_group(8, 40, 1) == 8  # 13B: 40 % 8 == 0
+    assert _fit_head_group(16, 40, 1) == 8  # 16 doesn't divide 40
+    assert _fit_head_group(4, 32, 1) == 1  # 4*1 rows not 8-aligned
+    assert _fit_head_group(4, 32, 2) == 4  # but fine at R=2
+    assert _fit_head_group(8, 4, 1) == 1  # nothing fits -> per-head path
+
+
+@pytest.mark.parametrize("head_group", [8, 16])
+@pytest.mark.parametrize("valid", [1, 100, 255, 256, 257, 511, 512])
+def test_flat_heads_match_reference(rng, valid, head_group):
+    """Stacked-head (flat) kernel vs the XLA reference: the block-diagonal
+    mask must keep cross-head score columns out of both the softmax and
+    the value contraction, at every block occupancy."""
+    B, KV, R, hd, T = 2, 16, 1, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    k[:, :, valid:] = 1e4
+    v[:, :, valid:] = -1e4
+
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid)
+    )
+    got = decode_attention_bounded(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
+        t_block=256, interpret=True, head_group=head_group,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flat_heads_gqa_rows(rng):
+    """R>1 (GQA query rows per kv head): row->head mapping inside the flat
+    mask is row // R; a group of 4 heads x R=2 rows stays 8-aligned."""
+    B, KV, R, hd, T = 1, 8, 2, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    for valid in (77, 300):
+        ref = decode_attention_reference(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid)
+        )
+        got = decode_attention_bounded(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(valid),
+            t_block=256, interpret=True, head_group=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_flat_heads_unfit_group_falls_back(rng):
+    """A head_group that can't satisfy the alignment/divisibility rules
+    silently uses the per-head path (same numbers)."""
+    B, KV, R, hd, T = 1, 4, 1, 128, 256
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(100)
+    )
+    got = decode_attention_bounded(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(100),
+        t_block=256, interpret=True, head_group=16,  # 4 heads: no fit
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("head_group", [8, 16])
+@pytest.mark.parametrize("valid", [1, 100, 256, 300, 512])
+def test_q8_flat_heads_match_dequantized_reference(rng, valid, head_group):
+    """int8-KV flat-head kernel vs the f32 reference on the dequantized
+    cache — the per-position k/v scale rows (lane-concat strips) must land
+    on the right flat columns."""
+    B, KV, R, hd, T = 2, 16, 1, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+    k_deq = kq.astype(np.float32) * ks[..., None]
+    v_deq = vq.astype(np.float32) * vs[..., None]
+
+    from prego_tpu.ops.decode_attention import decode_attention_bounded_q8
+
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k_deq), jnp.asarray(v_deq), jnp.int32(valid)
+    )
+    got = decode_attention_bounded_q8(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(ks),
+        jnp.asarray(vq), jnp.asarray(vs), jnp.int32(valid),
+        t_block=256, interpret=True, head_group=head_group,
+    )
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    norm = np.abs(np.asarray(ref)).max()
+    assert err.max() / norm < 0.01
+    assert err.mean() / norm < 0.003
+
+
+def test_head_group_env_gate(monkeypatch):
+    """PREGO_HEAD_GROUP is opt-in: unset/0/garbage -> 1 (off)."""
+    from prego_tpu.models.llama.model import _head_group_requested
+
+    monkeypatch.delenv("PREGO_HEAD_GROUP", raising=False)
+    assert _head_group_requested(8) == 1
+    monkeypatch.setenv("PREGO_HEAD_GROUP", "16")
+    assert _head_group_requested(8) == 16
+    monkeypatch.setenv("PREGO_HEAD_GROUP", "0")
+    assert _head_group_requested(8) == 1
+    monkeypatch.setenv("PREGO_HEAD_GROUP", "bogus")
+    assert _head_group_requested(8) == 1
+
+
 def test_q8_storage_error_budget(rng):
     """End-to-end int8-KV attention vs the exact f32 attention on the
     ORIGINAL cache: total relative error (storage + kernel) stays small."""
