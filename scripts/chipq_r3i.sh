@@ -39,6 +39,10 @@ run() {
   sleep 20
 }
 
+# r3h's lost final job (the session restart killed the queue mid-run):
+# does the b16 batch-scaling overhead live in attention or the matmul core?
+run python scripts/profile_decode.py --shape 7b --quantize --batch 16
+
 # b8: control (fold default) then flat at G=32 and G=8
 run python scripts/bench_llm.py --case decode_7b_b8_int8_kv8 --watchdog 1200
 run env PREGO_HEAD_GROUP=32 \
