@@ -44,3 +44,24 @@ def test_bench_train_tiny_both_backends():
     cases = {r["case"] for r in rows}
     assert cases == {"train_step_b4_scan", "train_step_b4_pallas_train"}
     assert all(r["frames_per_s"] > 0 for r in rows)
+
+
+def test_ab_attention_inproc_tiny():
+    proc = subprocess.run(
+        [sys.executable, "scripts/ab_attention_inproc.py",
+         "--dim", "128", "--layers", "2", "--heads", "8", "--batch", "8",
+         "--gen", "4", "--rounds", "1", "--max_seq", "32",
+         "--quantize", "--kv_quant"],
+        cwd=REPO,
+        env={**os.environ, "PREGO_PLATFORM": "cpu"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    out = proc.stdout
+    # all three dispatch variants must compile, time, and agree greedily
+    for name in ("perhead", "fold", "flat8"):
+        assert f"[{name}" in out, out
+    assert "identical across ['perhead', 'fold', 'flat8']: True" in out, out
