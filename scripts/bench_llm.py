@@ -361,6 +361,9 @@ CASES = {
     "decode_7b_b8_int8_kv8": lambda tiny: bench_decode_7b(8, tiny, kv_quant=True),
     "decode_7b_b16_int8_kv8": lambda tiny: bench_decode_7b(16, tiny, kv_quant=True),
     "decode_7b_b32_int8_kv8": lambda tiny: bench_decode_7b(32, tiny, kv_quant=True),
+    # b64 at max_seq 256: int8 KV ~4.3 GB + 6.6 GB weights — fits; the
+    # throughput-scaling edge once the attention dispatch cost is paid once
+    "decode_7b_b64_int8_kv8": lambda tiny: bench_decode_7b(64, tiny, kv_quant=True),
     "decode_7b_int8x8": lambda tiny: bench_decode_7b(1, tiny, activations=True),
     "decode_7b_b8_int8x8": lambda tiny: bench_decode_7b(8, tiny, activations=True),
     "anticipation_step_7b_int8_kv8": lambda tiny: bench_anticipation_step_7b(tiny),
