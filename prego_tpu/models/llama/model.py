@@ -321,8 +321,12 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     B, S, H, hd = x.shape
     xf = x.astype(jnp.float32).reshape(B, S, H, hd // 2, 2)
     x0, x1 = xf[..., 0], xf[..., 1]
-    c = cos[None, :, None, :]
-    s = sin[None, :, None, :]
+    if cos.ndim == 3:  # per-row tables (B, S, hd/2) — continuous batching
+        c = cos[:, :, None, :]
+        s = sin[:, :, None, :]
+    else:
+        c = cos[None, :, None, :]
+        s = sin[None, :, None, :]
     out0 = x0 * c - x1 * s
     out1 = x0 * s + x1 * c
     return jnp.stack([out0, out1], axis=-1).reshape(B, S, H, hd).astype(x.dtype)
@@ -398,12 +402,18 @@ def _attention(
     # functional cache update at [:, :, start_pos:start_pos+S] of the
     # layer's own head-major (B, KV, T, hd) leaf — aliasable in place by
     # the while_loop carry. int8 leaves ({"q","s"}) quantize the new
-    # tokens per position per head on the way in.
+    # tokens per position per head on the way in.  Per-row start_pos
+    # ((B,) — continuous batching) scatters each row at its own offset
+    # and takes the masked-einsum attention path (the bounded kernels
+    # accept per-row valid lengths via decode_attention_bounded's
+    # vector valid_len — wired in the serving layer's decode step).
+    per_row = jnp.ndim(start_pos) == 1
     kv_quant = isinstance(cache_k, dict)
     k_upd = jnp.swapaxes(xk, 1, 2)
     v_upd = jnp.swapaxes(xv, 1, 2)
     if (
-        not kv_quant
+        not per_row
+        and not kv_quant
         and S == 1
         and use_flash_decode
         and _flash_decode_supported(config)
@@ -433,7 +443,31 @@ def _attention(
             p["wo"],
         )
         return h_next, cache_k, cache_v
-    if kv_quant:
+    if per_row:
+        # per-row scatter: each batch row lands at its own offset
+        row_upd3 = jax.vmap(
+            lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (0, p, 0))
+        )
+        row_upd2 = jax.vmap(
+            lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (0, p))
+        )
+        if kv_quant:
+            kq, ks = _kv_quantize(k_upd)
+            vq, vs = _kv_quantize(v_upd)
+            cache_k = {
+                "q": row_upd3(cache_k["q"], kq, start_pos),
+                "s": row_upd2(cache_k["s"], ks, start_pos),
+            }
+            cache_v = {
+                "q": row_upd3(cache_v["q"], vq, start_pos),
+                "s": row_upd2(cache_v["s"], vs, start_pos),
+            }
+            T = cache_k["q"].shape[2]
+        else:
+            cache_k = row_upd3(cache_k, k_upd.astype(cache_k.dtype), start_pos)
+            cache_v = row_upd3(cache_v, v_upd.astype(cache_v.dtype), start_pos)
+            T = cache_k.shape[2]
+    elif kv_quant:
         kq, ks = _kv_quantize(k_upd)
         vq, vs = _kv_quantize(v_upd)
         cache_k = {
@@ -456,7 +490,7 @@ def _attention(
 
     q = xq.reshape(B, S, KV, H // KV, hd)
 
-    if S == 1 and use_flash_decode and _flash_decode_supported(config):
+    if S == 1 and not per_row and use_flash_decode and _flash_decode_supported(config):
         # single-token decode: fused streaming-softmax Pallas kernel
         # (ops/decode_attention.py) — XLA lowers this contraction to a slow
         # VPU multiply-reduce (~5x off the K/V bandwidth floor)
@@ -510,10 +544,16 @@ def _attention(
             "bsgrh,bgth->bgrst", q, k_full, preferred_element_type=jnp.float32
         ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
 
-        q_pos = start_pos + jnp.arange(S)[:, None]  # (S, 1) absolute positions
-        k_pos = jnp.arange(T)[None, :]  # (1, T)
-        mask = k_pos <= q_pos  # causal over cache
-        scores = jnp.where(mask[None, None, None], scores, -jnp.inf)
+        if per_row:
+            # (B, S, T) causal mask at each row's own offset
+            q_pos = start_pos[:, None, None] + jnp.arange(S)[None, :, None]
+            k_pos = jnp.arange(T)[None, None, :]
+            mask = (k_pos <= q_pos)[:, None, None]  # (B, 1, 1, S, T)
+        else:
+            q_pos = start_pos + jnp.arange(S)[:, None]  # (S, 1) absolute
+            k_pos = jnp.arange(T)[None, :]  # (1, T)
+            mask = (k_pos <= q_pos)[None, None, None]  # causal over cache
+        scores = jnp.where(mask, scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
 
         out = jnp.einsum(
@@ -737,13 +777,27 @@ def forward(
     config: LlamaConfig,
     rope: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[jax.Array, Cache]:
-    """Decoder forward. Returns (f32 logits (B, S, V), updated cache)."""
+    """Decoder forward. Returns (f32 logits (B, S, V), updated cache).
+
+    ``start_pos`` may be a scalar (the reference semantics: every batch
+    row decodes at the same cache offset) or a (B,) vector of PER-ROW
+    positions — the continuous-batching serving path, where each slot
+    of the shared cache advances independently (new requests join a
+    running decode batch mid-flight instead of waiting for the batch to
+    drain).  Per-row mode gathers per-row RoPE rows, scatters the cache
+    update per row, and masks attention per row; with equal entries it
+    is numerically identical to the scalar path."""
     if rope is None:
         rope = precompute_rope(config)
     cos_full, sin_full = rope
     S = tokens.shape[1]
-    cos = jax.lax.dynamic_slice_in_dim(cos_full, start_pos, S, axis=0)
-    sin = jax.lax.dynamic_slice_in_dim(sin_full, start_pos, S, axis=0)
+    if jnp.ndim(start_pos) == 1:  # per-row positions (B,)
+        pos_ids = start_pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+        cos = cos_full[pos_ids]  # (B, S, hd/2)
+        sin = sin_full[pos_ids]
+    else:
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, start_pos, S, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, start_pos, S, axis=0)
 
     h = jnp.take(params["tok_embeddings"], tokens, axis=0)
 
