@@ -403,10 +403,9 @@ def _attention(
     # layer's own head-major (B, KV, T, hd) leaf — aliasable in place by
     # the while_loop carry. int8 leaves ({"q","s"}) quantize the new
     # tokens per position per head on the way in.  Per-row start_pos
-    # ((B,) — continuous batching) scatters each row at its own offset
-    # and takes the masked-einsum attention path (the bounded kernels
-    # accept per-row valid lengths via decode_attention_bounded's
-    # vector valid_len — wired in the serving layer's decode step).
+    # ((B,) — continuous batching) scatters each row at its own offset;
+    # the bounded decode kernels take (B,) valid bounds directly (the
+    # wo-fused variants stay scalar-only and are skipped per-row).
     per_row = jnp.ndim(start_pos) == 1
     kv_quant = isinstance(cache_k, dict)
     k_upd = jnp.swapaxes(xk, 1, 2)
@@ -490,7 +489,7 @@ def _attention(
 
     q = xq.reshape(B, S, KV, H // KV, hd)
 
-    if S == 1 and not per_row and use_flash_decode and _flash_decode_supported(config):
+    if S == 1 and use_flash_decode and _flash_decode_supported(config):
         # single-token decode: fused streaming-softmax Pallas kernel
         # (ops/decode_attention.py) — XLA lowers this contraction to a slow
         # VPU multiply-reduce (~5x off the K/V bandwidth floor)
@@ -504,7 +503,8 @@ def _attention(
                 head_group=_head_group_requested(B, config),
             )
         elif (
-            not isinstance(p["wo"], dict)  # bf16 leaf (not int8)
+            not per_row  # the wo-fused kernels keep scalar valid bounds
+            and not isinstance(p["wo"], dict)  # bf16 leaf (not int8)
             and p["wo"].size <= 4_500_000  # wo must fit VMEM beside k/v bufs
             and _fused_attn_wo_supported()
         ):

@@ -209,7 +209,7 @@ def _bounded_walk(
 
 
 def _decode_kernel_bounded(
-    valid_ref,  # (1, 1) SMEM int32
+    valid_ref,  # (1, B+1) SMEM int32 — per-row valid lengths, [B] = max
     q_ref,  # (1, KV, R, hd) VMEM
     k_hbm,  # (B, KV, T, hd) ANY/HBM — full cache, blocks DMA'd manually
     v_hbm,  # (B, KV, T, hd) ANY/HBM
@@ -226,7 +226,7 @@ def _decode_kernel_bounded(
     head_dim: int,
 ):
     b = pl.program_id(0)
-    valid = valid_ref[0, 0]
+    valid = valid_ref[0, b]  # per-row: each program walks its own bound
     _bounded_walk(
         b, valid, q_ref, k_hbm, v_hbm, k_buf, v_buf, m_ref, l_ref, acc_ref,
         sem, kv_heads=kv_heads, t_block=t_block, head_dim=head_dim,
@@ -401,7 +401,7 @@ def _decode_kernel_bounded_wo_res_upd(
 
 
 def _decode_kernel_bounded_fold(
-    valid_ref,  # (1, 1) SMEM int32
+    valid_ref,  # (1, B+1) SMEM int32 — per-row valid lengths, [B] = max
     q_ref,  # (B, KV, R, hd) VMEM — ALL batch rows resident (tiny)
     k_hbm,  # (B, KV, T, hd) ANY/HBM
     v_hbm,  # (B, KV, T, hd) ANY/HBM
@@ -422,9 +422,13 @@ def _decode_kernel_bounded_fold(
     sequence in a single fori_loop, so the double-buffered DMA pipeline
     spans batch-row boundaries (row b+1's first block prefetches while
     row b's last block computes) and the per-grid-program overhead of the
-    (B,) grid is paid once instead of B times."""
-    valid = valid_ref[0, 0]
-    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
+    (B,) grid is paid once instead of B times.
+
+    The flat f -> (b, block) mapping needs a SHARED trip count, so the
+    walk is bounded by the batch MAX (valid_ref[0, batch]); rows shorter
+    than the max mask their tail blocks (wasted DMA bounded by the
+    occupancy spread — per-row exact bounds ride the per-head kernel)."""
+    n_blocks = jnp.maximum((valid_ref[0, batch] + t_block - 1) // t_block, 1)
     total = batch * n_blocks
 
     def k_dma(slot, flat):
@@ -462,6 +466,7 @@ def _decode_kernel_bounded_fold(
         v_dma(slot, f).wait()
         b = f // n_blocks
         i = f - b * n_blocks
+        valid = valid_ref[0, b]  # per-row bound
 
         @pl.when(i == 0)
         def _():
@@ -505,6 +510,16 @@ def _decode_kernel_bounded_fold(
         return carry
 
     jax.lax.fori_loop(0, total, body, 0)
+
+
+def _valid_vec(valid_len: jax.Array, batch: int) -> jax.Array:
+    """Lower scalar-or-(B,) ``valid_len`` to the bounded kernels' shared
+    (1, B+1) SMEM layout: per-row valid lengths with the batch max in the
+    last slot (the folded walks' shared trip bound)."""
+    v = jnp.asarray(valid_len, jnp.int32)
+    if v.ndim == 0:
+        v = jnp.full((batch,), v, jnp.int32)
+    return jnp.concatenate([v, jnp.max(v)[None]]).reshape(1, batch + 1)
 
 
 def _fit_head_group(head_group: int, kv_heads: int, rows_per_head: int) -> int:
@@ -606,7 +621,7 @@ def _flat_group_update(
 
 
 def _decode_kernel_bounded_fold_flat(
-    valid_ref,  # (1, 1) SMEM int32
+    valid_ref,  # (1, B+1) SMEM int32 — per-row valid lengths, [B] = max
     q_ref,  # (B, KV*R, hd) VMEM — queries flattened head-major
     k_hbm,  # (B, KV, T, hd) ANY/HBM
     v_hbm,
@@ -629,9 +644,9 @@ def _decode_kernel_bounded_fold_flat(
     per-head update replaced by _flat_group_update: kv_heads/head_group
     stacked matmul pairs per block instead of kv_heads serial R-row
     dots — the per-(batch,head) op-issue cost that dominates the 7B/13B
-    B>1 decode residue (RESULTS.md batch sweep)."""
-    valid = valid_ref[0, 0]
-    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
+    B>1 decode residue (RESULTS.md batch sweep).  Trips are bounded by
+    the batch max; each row masks with its own valid length."""
+    n_blocks = jnp.maximum((valid_ref[0, batch] + t_block - 1) // t_block, 1)
     total = batch * n_blocks
 
     def k_dma(slot, flat):
@@ -669,6 +684,7 @@ def _decode_kernel_bounded_fold_flat(
         v_dma(slot, f).wait()
         b = f // n_blocks
         i = f - b * n_blocks
+        valid = valid_ref[0, b]  # per-row bound
 
         @pl.when(i == 0)
         def _():
@@ -717,14 +733,20 @@ def decode_attention_bounded(
     (b, block) walk) so the DMA pipeline crosses batch-row boundaries.
     ``head_group`` > 1 additionally stacks that many heads into each
     score/value matmul pair (_flat_group_update) — implies the folded
-    walk; requests that don't fit (_fit_head_group) fall back."""
+    walk; requests that don't fit (_fit_head_group) fall back.
+
+    ``valid_len`` may be a scalar (all rows share the bound — the
+    reference decode semantics) or a (B,) vector of PER-ROW bounds (the
+    continuous-batching serving path: each slot attends to its own
+    occupancy).  Either lowers to one (1, B+1) SMEM operand — per-row
+    valids plus the batch max in the last slot."""
     B, KV, R, hd = q.shape
     T = cache_k.shape[2]
     t_block = min(t_block, T)
     if T % t_block != 0:
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
 
-    valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    valid = _valid_vec(valid_len, B)
     head_group = _fit_head_group(head_group, KV, R)
     if head_group > 1:
         kernel = functools.partial(
@@ -786,7 +808,7 @@ def decode_attention_bounded(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B + 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, KV, R, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1058,7 +1080,7 @@ def _q8_head_update(
 
 
 def _decode_kernel_bounded_q8(
-    valid_ref,  # (1, 1) SMEM int32
+    valid_ref,  # (1, B+1) SMEM int32 — per-row valid lengths, [B] = max
     q_ref,  # (1, KV, R, hd) VMEM — bf16/f32 query
     kq_hbm,  # (B, KV, T, hd) int8
     ks_hbm,  # (B, KV, T) f32 per-position k scales
@@ -1081,7 +1103,7 @@ def _decode_kernel_bounded_q8(
     head_loop: bool = False,
 ):
     b = pl.program_id(0)
-    valid = valid_ref[0, 0]
+    valid = valid_ref[0, b]  # per-row: each program walks its own bound
     # clamped like _decode_kernel_bounded: the warmup DMA must be awaited
     n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
 
@@ -1148,7 +1170,7 @@ def _decode_kernel_bounded_q8(
 
 
 def _decode_kernel_bounded_q8_fold(
-    valid_ref,  # (1, 1) SMEM int32
+    valid_ref,  # (1, B+1) SMEM int32 — per-row valid lengths, [B] = max
     q_ref,  # (B, KV, R, hd) VMEM — ALL batch rows resident (tiny)
     kq_hbm,  # (B, KV, T, hd) int8
     ks_hbm,  # (B, KV, T) f32
@@ -1170,9 +1192,9 @@ def _decode_kernel_bounded_q8_fold(
     one grid program walks a flat (b, block) sequence so the 4-stream DMA
     pipeline crosses batch-row boundaries and per-grid-program overhead
     is paid once instead of B times — the B=8 7B serving lever
-    (RESULTS.md: per-(batch,head) program costs grow at 32 layers)."""
-    valid = valid_ref[0, 0]
-    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
+    (RESULTS.md: per-(batch,head) program costs grow at 32 layers).
+    Trips bounded by the batch max (valid_ref[0, batch]); per-row mask."""
+    n_blocks = jnp.maximum((valid_ref[0, batch] + t_block - 1) // t_block, 1)
     total = batch * n_blocks
 
     def dmas(slot, flat):
@@ -1203,6 +1225,7 @@ def _decode_kernel_bounded_q8_fold(
             d.wait()
         b = f // n_blocks
         i = f - b * n_blocks
+        valid = valid_ref[0, b]  # per-row bound
 
         @pl.when(i == 0)
         def _():
@@ -1245,7 +1268,7 @@ def _decode_kernel_bounded_q8_fold(
 
 
 def _decode_kernel_bounded_q8_fold_flat(
-    valid_ref,  # (1, 1) SMEM int32
+    valid_ref,  # (1, B+1) SMEM int32 — per-row valid lengths, [B] = max
     q_ref,  # (B, KV*R, hd) VMEM — queries flattened head-major
     kq_hbm,  # (B, KV, T, hd) int8
     ks_hbm,  # (B, KV, T) f32
@@ -1267,9 +1290,8 @@ def _decode_kernel_bounded_q8_fold_flat(
     production 7B/13B B>1 serving kernel shape (see
     _decode_kernel_bounded_fold_flat).  Dequant stays on the VPU; the
     per-position k/v scales ride the flat score columns / p rows
-    (_flat_group_update)."""
-    valid = valid_ref[0, 0]
-    n_blocks = jnp.maximum((valid + t_block - 1) // t_block, 1)
+    (_flat_group_update).  Trips bounded by the batch max; per-row mask."""
+    n_blocks = jnp.maximum((valid_ref[0, batch] + t_block - 1) // t_block, 1)
     total = batch * n_blocks
 
     def dmas(slot, flat):
@@ -1300,6 +1322,7 @@ def _decode_kernel_bounded_q8_fold_flat(
             d.wait()
         b = f // n_blocks
         i = f - b * n_blocks
+        valid = valid_ref[0, b]  # per-row bound
 
         @pl.when(i == 0)
         def _():
@@ -1356,7 +1379,8 @@ def decode_attention_bounded_q8(
     13B shape; PREGO_Q8_HEAD_LOOP=1/0 forces). ``head_group`` > 1 stacks
     that many heads per matmul pair (_flat_group_update; implies the
     folded walk, VPU-dequant mode only — int8_mxu keeps the per-head
-    path)."""
+    path).  ``valid_len``: scalar or (B,) per-row bounds (see
+    decode_attention_bounded)."""
     import os
 
     if head_loop is None:
@@ -1369,7 +1393,7 @@ def decode_attention_bounded_q8(
     if T % t_block != 0:
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
 
-    valid = jnp.asarray(valid_len, jnp.int32).reshape(1, 1)
+    valid = _valid_vec(valid_len, B)
     head_group = 1 if int8_mxu else _fit_head_group(head_group, KV, R)
     if head_group > 1:
         kernel = functools.partial(
@@ -1441,7 +1465,7 @@ def decode_attention_bounded_q8(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B + 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, KV, R, hd), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1467,13 +1491,17 @@ def decode_attention_bounded_q8(
 
 
 def decode_attention_reference(q, cache_k, cache_v, valid_len):
-    """Plain-XLA reference with identical semantics (testing/fallback)."""
+    """Plain-XLA reference with identical semantics (testing/fallback).
+    ``valid_len``: scalar or (B,) per-row bounds."""
     hd = q.shape[-1]
     scores = jnp.einsum(
         "bgrh,bgth->bgrt", q, cache_k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(hd, jnp.float32))
     T = cache_k.shape[2]
-    mask = jnp.arange(T)[None, None, None, :] < valid_len
+    vl = jnp.asarray(valid_len)
+    if vl.ndim == 1:
+        vl = vl[:, None, None, None]
+    mask = jnp.arange(T)[None, None, None, :] < vl
     scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum(

@@ -437,3 +437,88 @@ def test_q8_head_loop_matches_unrolled(rng, fold):
         *args, t_block=256, interpret=True, fold_batch=fold, head_loop=True
     )
     np.testing.assert_array_equal(np.asarray(unrolled), np.asarray(looped))
+
+
+# ------------------------------------------------- per-row valid lengths
+
+
+@pytest.mark.parametrize("variant", ["perhead", "fold", "flat"])
+def test_per_row_valid_matches_reference(rng, variant):
+    """(B,) valid_len: each row attends to its own occupancy (the
+    continuous-batching serving bound), including a zero-valid row
+    (inactive slot -> all-masked -> zeros out, defined)."""
+    B, KV, R, hd, T = 4, 8, 1, 128, 512
+    valids = np.array([1, 100, 512, 0], np.int32)
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    for b, vl in enumerate(valids):
+        k[b, :, vl:] = 1e4  # garbage beyond each row's bound must not leak
+        v[b, :, vl:] = -1e4
+
+    live = valids > 0
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(valids)
+    )
+    got = decode_attention_bounded(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(valids),
+        t_block=256, interpret=True,
+        fold_batch=(variant == "fold"),
+        head_group=8 if variant == "flat" else 1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[live], np.asarray(ref)[live], rtol=2e-5, atol=2e-5
+    )
+    # zero-valid rows: reference softmaxes all -inf (NaN); the kernels
+    # clamp the denominator and emit zeros
+    np.testing.assert_array_equal(np.asarray(got)[~live], 0.0)
+
+
+@pytest.mark.parametrize("variant", ["perhead", "fold", "flat"])
+def test_q8_per_row_valid_matches_reference(rng, variant):
+    B, KV, R, hd, T = 3, 8, 1, 128, 512
+    valids = np.array([257, 64, 512], np.int32)
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    kq, ks = _quantize_kv(k)
+    vq, vs = _quantize_kv(v)
+    k_deq = kq.astype(np.float32) * ks[..., None]
+    v_deq = vq.astype(np.float32) * vs[..., None]
+
+    from prego_tpu.ops.decode_attention import decode_attention_bounded_q8
+
+    ref = decode_attention_reference(
+        jnp.asarray(q), jnp.asarray(k_deq), jnp.asarray(v_deq),
+        jnp.asarray(valids),
+    )
+    got = decode_attention_bounded_q8(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(ks),
+        jnp.asarray(vq), jnp.asarray(vs), jnp.asarray(valids),
+        t_block=256, interpret=True,
+        fold_batch=(variant == "fold"),
+        head_group=8 if variant == "flat" else 1,
+    )
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    norm = np.abs(np.asarray(ref)).max()
+    assert err.max() / norm < 0.01
+
+
+def test_per_row_valid_equals_scalar_when_uniform(rng):
+    """A constant (B,) vector must produce bit-identical results to the
+    scalar bound on every dispatch variant."""
+    B, KV, R, hd, T = 2, 8, 2, 128, 512
+    q = rng.normal(0, 1, (B, KV, R, hd)).astype(np.float32)
+    k = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    v = rng.normal(0, 1, (B, KV, T, hd)).astype(np.float32)
+    for fold, group in ((False, 1), (True, 1), (True, 4)):
+        a = decode_attention_bounded(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.int32(300),
+            t_block=256, interpret=True, fold_batch=fold, head_group=group,
+        )
+        b = decode_attention_bounded(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.full((B,), 300, jnp.int32),
+            t_block=256, interpret=True, fold_batch=fold, head_group=group,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
