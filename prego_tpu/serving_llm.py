@@ -60,7 +60,8 @@ class Completion:
     prompt_len: int
     admitted_step: int  # global decode-step index at admission
     finished_step: int
-    wall_latency_s: float
+    wall_latency_s: float  # admission -> finish
+    finished_wall_s: float  # serve() start -> finish (burst latency)
 
 
 @dataclass
@@ -265,6 +266,7 @@ class ContinuousBatcher:
                             finished_step=step_idx,
                             wall_latency_s=time.perf_counter()
                             - slot_admit_wall.pop(s),
+                            finished_wall_s=time.perf_counter() - t0,
                         )
                     )
         stats.wall_s = time.perf_counter() - t0

@@ -336,6 +336,90 @@ def bench_anticipation_step_7b(tiny: bool, kv_quant: bool = True,
     }
 
 
+def _serving_workload(tiny: bool, n_reqs: int, seed: int = 7):
+    """Burst of mixed-length requests (the continuous-batching case):
+    prompts 32-384 tokens, budgets 16-96 generated tokens (tiny: scaled
+    down).  Mirrors the PREGO anticipation stream's spread (RESULTS.md
+    workload-shaped context table: p50 ~30-400, max ~965)."""
+    rng = np.random.default_rng(seed)
+    lo_p, hi_p = (2, 24) if tiny else (32, 384)
+    lo_g, hi_g = (2, 8) if tiny else (16, 96)
+    hi_id = 250 if tiny else 31999  # tiny smoke runs the 258-word byte vocab
+    return [
+        (
+            rng.integers(4, hi_id, rng.integers(lo_p, hi_p)).tolist(),
+            int(rng.integers(lo_g, hi_g)),
+        )
+        for _ in range(n_reqs)
+    ]
+
+
+def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
+                     n_reqs: int = 32, shape: str = "7b"):
+    """Mixed-length burst through S slots: continuous batching
+    (serving_llm.ContinuousBatcher) vs the reference's static batching
+    (generate() pads each group of S to its longest prompt and decodes
+    the whole group to its longest budget — generation.py:121-215)."""
+    case = f"serving_{mode}_{shape}_s{slots}"
+    from prego_tpu.serving_llm import ContinuousBatcher, Request
+
+    if tiny:
+        llama, cfg = _llama(True, "none")
+        n_reqs = min(n_reqs, 6)
+        slots = min(slots, 2)
+    else:
+        llama, cfg = _llama_ref(shape, kv_quant=True, max_batch=slots,
+                                max_seq=512)
+    work = _serving_workload(tiny, n_reqs)
+    gen_total = 0
+    t0 = time.perf_counter()
+    if mode == "cb":
+        cb = ContinuousBatcher(llama, slots=slots, chunk=4 if tiny else 16,
+                               temperature=0.0)
+        done, stats = cb.serve(
+            [Request(uid=i, prompt=p, max_gen_len=g)
+             for i, (p, g) in enumerate(work)]
+        )
+        dt = time.perf_counter() - t0
+        lats = sorted(c.finished_wall_s for c in done)
+        gen_total = sum(len(c.tokens) for c in done)
+        util = stats.utilization
+    else:  # static: groups of `slots` in arrival order via generate()
+        finish = []
+        for i in range(0, len(work), slots):
+            group = work[i : i + slots]
+            outs, _ = llama.generate(
+                [p for p, _ in group],
+                max_gen_len=max(g for _, g in group),
+                temperature=0.0,
+            )
+            now = time.perf_counter() - t0
+            # every request in the group finishes when the group drains;
+            # per-request budgets are honored by truncation (the compute
+            # for the excess steps is the static-batching cost being
+            # measured)
+            for (p, g), out in zip(group, outs):
+                gen_total += min(len(out), g)
+                finish.append(now)
+        dt = time.perf_counter() - t0
+        lats = sorted(finish)
+        util = float("nan")
+    p50 = lats[len(lats) // 2]
+    p95 = lats[min(int(len(lats) * 0.95), len(lats) - 1)]
+    row = {
+        "case": case,
+        "value": round(gen_total / dt, 1),
+        "unit": "useful tok/s (mixed burst)",
+        "wall_s": round(dt, 2),
+        "n_reqs": n_reqs,
+        "lat_p50_s": round(p50, 2),
+        "lat_p95_s": round(p95, 2),
+    }
+    if mode == "cb":
+        row["slot_utilization"] = round(util, 3)
+    return row
+
+
 CASES = {
     "decode_b1": lambda tiny: bench_decode(1, tiny),
     "decode_b8": lambda tiny: bench_decode(8, tiny),
@@ -365,6 +449,8 @@ CASES = {
     # throughput-scaling edge once the attention dispatch cost is paid once
     "decode_7b_b64_int8_kv8": lambda tiny: bench_decode_7b(64, tiny, kv_quant=True),
     "decode_7b_int8x8": lambda tiny: bench_decode_7b(1, tiny, activations=True),
+    "serving_cb_7b": lambda tiny: bench_serving_cb(tiny, mode="cb"),
+    "serving_static_7b": lambda tiny: bench_serving_cb(tiny, mode="static"),
     "decode_7b_b8_int8x8": lambda tiny: bench_decode_7b(8, tiny, activations=True),
     "anticipation_step_7b_int8_kv8": lambda tiny: bench_anticipation_step_7b(tiny),
     "anticipation_step_7b_int8_kv8_sb2": lambda tiny: bench_anticipation_step_7b(

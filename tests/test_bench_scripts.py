@@ -65,3 +65,11 @@ def test_ab_attention_inproc_tiny():
     for name in ("perhead", "fold", "flat8"):
         assert f"[{name}" in out, out
     assert "identical across ['perhead', 'fold', 'flat8']: True" in out, out
+
+
+def test_bench_llm_tiny_serving_cases():
+    (cb,) = _run(["scripts/bench_llm.py", "--case", "serving_cb_7b", "--tiny"])
+    (st,) = _run(["scripts/bench_llm.py", "--case", "serving_static_7b", "--tiny"])
+    assert cb["case"] == "serving_cb_7b_s8" and cb["value"] > 0
+    assert 0 < cb["slot_utilization"] <= 1
+    assert st["case"] == "serving_static_7b_s8" and st["value"] > 0
