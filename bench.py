@@ -148,6 +148,9 @@ LLM_EXTRAS = (
     # the flagship PREGO serving number: 4-gen anticipation step,
     # step-batched x2, 1.5k-token shared context (1B-class shape)
     ("anticipation_step_sb2", "llm_anticipation_step_sb2", 600),
+    # the same step at the reference's TRUE scale (7B int8 + int8-KV);
+    # runs last so an exhausted budget drops it, never the 1B rows
+    ("anticipation_step_7b_int8_kv8_sb2", "llm_anticipation_step_7b_sb2", 720),
 )
 
 
