@@ -755,18 +755,29 @@ def _head_group_requested(batch: int, config: "LlamaConfig" = None) -> int:
     ``_flat_group_update``) instead of serializing kv_heads tiny R-row
     dots per block — the per-(batch,head) op-issue residue that grows
     with batch at the 7B/13B shapes (RESULTS.md batch sweep: 55% -> 41%
-    -> 27% of floor at b8/b16/b32).  Opt-in until measured on chip:
-    PREGO_HEAD_GROUP=<G> requests a group size (clamped to a divisor of
-    kv_heads by _fit_head_group; 0/1/unset = off)."""
+    -> 27% of floor at b8/b16/b32).
+
+    Default is shape-aware: AUTO-ON with G=8 at >= 24 layers (the
+    7B/13B serving shapes), where it is the measured-fastest dispatch at
+    every batch tried — in-process interleaved A/B at 7B b8 int8+kv8:
+    perhead 13.49 / fold 12.84 / flat8 11.50 / flat32 11.37 ms/step
+    (flat8 -14.7%); e2e same-window sweep: b8 -12.6%, b16 -23%,
+    b32 -32%, b1 and 13B b1 -3.5%/-8.4% (RESULTS.md).  G=8 ~ G=32 in
+    every reading, and G=8 also fits the 13B row budget.  The 16-layer
+    1B-class shapes stay off pending their own interleaved A/B.
+    PREGO_HEAD_GROUP=<G> forces a group size either way (clamped to a
+    divisor of kv_heads by _fit_head_group; 0/1 = off)."""
     import os
 
     env = os.environ.get("PREGO_HEAD_GROUP")
-    if env is None:
-        return 1
-    try:
-        return max(int(env), 1)
-    except ValueError:
-        return 1
+    if env is not None:
+        try:
+            return max(int(env), 1)
+        except ValueError:
+            return 1
+    if config is not None and config.n_layers >= 24:
+        return 8
+    return 1
 
 
 def forward(

@@ -255,16 +255,31 @@ def test_q8_flat_heads_match_dequantized_reference(rng, valid, head_group):
     assert err.mean() / norm < 0.003
 
 
-def test_head_group_env_gate(monkeypatch):
-    """PREGO_HEAD_GROUP is opt-in: unset/0/garbage -> 1 (off)."""
+def test_head_group_default_is_shape_aware(monkeypatch):
+    """Flat-head attention auto-on (G=8) at >=24 layers — the measured-
+    fastest dispatch at the 7B/13B shapes for every batch tried — off at
+    the 16-layer 1B-class shapes; PREGO_HEAD_GROUP forces either way
+    (unset-with-no-config/0/garbage -> 1 = off)."""
+    from prego_tpu.models.llama.config import LlamaConfig
     from prego_tpu.models.llama.model import _head_group_requested
+
+    def cfg(layers):
+        return LlamaConfig(
+            dim=64, n_layers=layers, n_heads=4, n_kv_heads=4, vocab_size=64,
+            multiple_of=16, norm_eps=1e-5, max_batch_size=8, max_seq_len=64,
+        )
 
     monkeypatch.delenv("PREGO_HEAD_GROUP", raising=False)
     assert _head_group_requested(8) == 1
+    assert _head_group_requested(8, cfg(32)) == 8
+    assert _head_group_requested(1, cfg(32)) == 8  # b1: 7B/13B both win
+    assert _head_group_requested(8, cfg(16)) == 1  # 1B-class: unmeasured
     monkeypatch.setenv("PREGO_HEAD_GROUP", "16")
     assert _head_group_requested(8) == 16
+    assert _head_group_requested(8, cfg(16)) == 16
     monkeypatch.setenv("PREGO_HEAD_GROUP", "0")
     assert _head_group_requested(8) == 1
+    assert _head_group_requested(8, cfg(32)) == 1  # env forces OFF too
     monkeypatch.setenv("PREGO_HEAD_GROUP", "bogus")
     assert _head_group_requested(8) == 1
 
