@@ -441,6 +441,10 @@ CASES = {
     "decode_13b_int8": lambda tiny: bench_decode_7b(1, tiny, shape="13b"),
     "decode_13b_int8_kv8": lambda tiny: bench_decode_7b(
         1, tiny, kv_quant=True, shape="13b"),
+    # 13B batched serving: 13.2 GB int8 weights + ~0.9 GB int8 KV at
+    # b8/max_seq 256 — the largest-shape batch row that fits one v5e
+    "decode_13b_b8_int8_kv8": lambda tiny: bench_decode_7b(
+        8, tiny, kv_quant=True, shape="13b"),
     "decode_7b_b8_int8": lambda tiny: bench_decode_7b(8, tiny),
     "decode_7b_b8_int8_kv8": lambda tiny: bench_decode_7b(8, tiny, kv_quant=True),
     "decode_7b_b16_int8_kv8": lambda tiny: bench_decode_7b(16, tiny, kv_quant=True),
