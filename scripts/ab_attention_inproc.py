@@ -56,10 +56,11 @@ def make_runner(cfg, kv_quant):
 
 def set_gates(fold, group):
     os.environ["PREGO_FOLD_BATCH"] = fold
-    if group:
-        os.environ["PREGO_HEAD_GROUP"] = str(group)
-    else:
-        os.environ.pop("PREGO_HEAD_GROUP", None)
+    # Explicit "1" (= off), never unset: since flat-head became the
+    # shape-aware DEFAULT at >=24 layers, popping the env would silently
+    # turn the perhead/fold control legs INTO flat legs at those shapes
+    # (observed: a b16 sweep where all four variants read identical).
+    os.environ["PREGO_HEAD_GROUP"] = str(group) if group else "1"
 
 
 def main():
