@@ -455,6 +455,13 @@ CASES = {
     "decode_7b_int8x8": lambda tiny: bench_decode_7b(1, tiny, activations=True),
     "serving_cb_7b": lambda tiny: bench_serving_cb(tiny, mode="cb"),
     "serving_static_7b": lambda tiny: bench_serving_cb(tiny, mode="static"),
+    # 16-slot variants: flat-head attention makes the b16 decode
+    # marginal nearly batch-flat (12.13 vs 12.09 ms at b8), so doubling
+    # the slot count should nearly double useful tok/s on a deep burst
+    "serving_cb_7b_s16": lambda tiny: bench_serving_cb(
+        tiny, mode="cb", slots=16, n_reqs=48),
+    "serving_static_7b_s16": lambda tiny: bench_serving_cb(
+        tiny, mode="static", slots=16, n_reqs=48),
     "decode_7b_b8_int8x8": lambda tiny: bench_decode_7b(8, tiny, activations=True),
     "anticipation_step_7b_int8_kv8": lambda tiny: bench_anticipation_step_7b(tiny),
     "anticipation_step_7b_int8_kv8_sb2": lambda tiny: bench_anticipation_step_7b(
