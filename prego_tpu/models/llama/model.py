@@ -638,8 +638,11 @@ def _fused_attn_wo_supported() -> bool:
 
 def _fused_dense_q8_supported() -> bool:
     """Gate for the int8 fused dense boundaries — norm+qkv, wo+residual,
-    final-norm+lm-head (opt-in until measured on chip:
-    PREGO_FUSED_DENSE_Q8=1). TPU-only like the other decode kernels."""
+    final-norm+lm-head (PREGO_FUSED_DENSE_Q8=1). TPU-only like the other
+    decode kernels.  Measured and DELIBERATELY opt-in: the clean A/B/A
+    at 7B b1 reads the full q8-fusion stack at −1.4% e2e (10.33/10.19/
+    10.34 ms/step), but the same gates REGRESS at b8 (16.46 vs 14.48) —
+    RESULTS.md 7B table."""
     import os
 
     import jax as _jax
@@ -651,8 +654,10 @@ def _fused_dense_q8_supported() -> bool:
 
 
 def _fused_ffn_q8_supported() -> bool:
-    """Gate for the int8 fused FFN sub-layer (opt-in until measured on
-    chip: PREGO_FUSED_FFN_Q8=1). TPU-only like the bf16 kernel."""
+    """Gate for the int8 fused FFN sub-layer (PREGO_FUSED_FFN_Q8=1).
+    TPU-only like the bf16 kernel.  Measured and DELIBERATELY opt-in —
+    see _fused_dense_q8_supported (the −1.4%-at-b1 / regression-at-b8
+    verdict covers the whole q8 fusion stack)."""
     import os
 
     import jax as _jax
@@ -664,8 +669,10 @@ def _fused_ffn_q8_supported() -> bool:
 
 
 def _fused_cache_upd_supported() -> bool:
-    """Gate for the cache-write-in-kernel attention tail (opt-in until
-    measured on chip: PREGO_FUSED_CACHE_UPD=1)."""
+    """Gate for the cache-write-in-kernel attention tail
+    (PREGO_FUSED_CACHE_UPD=1).  Measured and DELIBERATELY opt-in: the
+    bf16 fusion ladder shows it regressing (3.543 -> 3.579 ms/step at
+    the 1B b8 shape — RESULTS.md)."""
     import os
 
     return os.environ.get("PREGO_FUSED_CACHE_UPD", "0") == "1"
@@ -734,11 +741,13 @@ def _fold_batch_requested(batch: int, config: "LlamaConfig" = None) -> bool:
     per-call fixed cost; at the 1B shape it is -7.5% marginal but
     +25 ms per call — a net loss for short serving calls.  Default is
     therefore shape-aware: AUTO-ON for 1 < batch <= 8 at >= 24 layers
-    (the measured regime; larger batches stay opt-in until their
-    on-chip compiles are proven — a b16 fold compile tripped a 900 s
-    watchdog in r3, though later timeline evidence points at a tunnel
-    outage window rather than the kernel; the r3g retries
-    disambiguate).  PREGO_FOLD_BATCH=1/0 forces either way."""
+    (the measured regime; the r3 b16/b32 watchdog trips were a tunnel
+    outage, not the kernel — the retries compiled normally).  Where the
+    flat-head default applies (>= 24 layers, _head_group_requested) it
+    SUPERSEDES this gate: head_group > 1 implies the folded walk, and
+    the formal interleaved controls read flat8 ahead of fold at every
+    batch (b8 −14.7/−4.8, b16 −27.7/−8.5, b32 −39.4/−12.5 vs perhead).
+    PREGO_FOLD_BATCH=1/0 forces either way."""
     import os
 
     if batch <= 1:
