@@ -773,9 +773,14 @@ def _head_group_requested(batch: int, config: "LlamaConfig" = None) -> int:
     (flat8 -14.7%); e2e same-window sweep: b8 -12.6%, b16 -23%,
     b32 -32%, b1 and 13B b1 -3.5%/-8.4% (RESULTS.md).  G=8 ~ G=32 in
     every reading, and G=8 also fits the 13B row budget.  The 16-layer
-    1B-class shapes stay off pending their own interleaved A/B.
-    PREGO_HEAD_GROUP=<G> forces a group size either way (clamped to a
-    divisor of kv_heads by _fit_head_group; 0/1 = off)."""
+    1B-class shapes stay off pending their own interleaved A/B.  The A/B
+    set was 7B/13B int8[+kv8] (R=1); bf16 and GQA >=24-layer shapes get
+    the same default by extrapolation — numerics are parity-tested
+    either way, and G is clamped to a divisor of kv_heads downstream
+    (_fit_head_group), so the worst case is unmeasured perf, not wrong
+    output.  PREGO_HEAD_GROUP=<G> forces a group size either way
+    (0/1 = off); an unparsable value warns and falls through to the
+    shape-aware default instead of silently forcing it off."""
     import os
 
     env = os.environ.get("PREGO_HEAD_GROUP")
@@ -783,7 +788,13 @@ def _head_group_requested(batch: int, config: "LlamaConfig" = None) -> int:
         try:
             return max(int(env), 1)
         except ValueError:
-            return 1
+            import sys
+
+            print(
+                f"prego_tpu: ignoring unparsable PREGO_HEAD_GROUP={env!r}; "
+                "using the shape-aware default",
+                file=sys.stderr,
+            )
     if config is not None and config.n_layers >= 24:
         return 8
     return 1

@@ -259,7 +259,8 @@ def test_head_group_default_is_shape_aware(monkeypatch):
     """Flat-head attention auto-on (G=8) at >=24 layers — the measured-
     fastest dispatch at the 7B/13B shapes for every batch tried — off at
     the 16-layer 1B-class shapes; PREGO_HEAD_GROUP forces either way
-    (unset-with-no-config/0/garbage -> 1 = off)."""
+    (unset-with-no-config/0 -> 1 = off; garbage falls through to the
+    shape-aware default)."""
     from prego_tpu.models.llama.config import LlamaConfig
     from prego_tpu.models.llama.model import _head_group_requested
 
@@ -282,6 +283,10 @@ def test_head_group_default_is_shape_aware(monkeypatch):
     assert _head_group_requested(8, cfg(32)) == 1  # env forces OFF too
     monkeypatch.setenv("PREGO_HEAD_GROUP", "bogus")
     assert _head_group_requested(8) == 1
+    # a typo must NOT silently disable the measured shape-aware default:
+    # unparsable values warn and fall through (ADVICE r3 findings 1+3)
+    assert _head_group_requested(8, cfg(32)) == 8
+    assert _head_group_requested(8, cfg(16)) == 1
 
 
 def test_q8_storage_error_budget(rng):
