@@ -195,8 +195,17 @@ class JaxLlamaLLM:
         fabricated: Optional[str] = None,  # "7b"/"13b": random weights at a
         # reference serving shape (vocab 32000, byte tokenizer) — TIMING
         # demonstrations of the full driver at scale, not real predictions
+        serving: str = "batch",  # "batch": drain-style generate (reference
+        # semantics); "cb": route every text_completion through the
+        # continuous-batching slot loop (serving_llm.ContinuousBatcher)
+        cb_slots: Optional[int] = None,  # CB slot count (default max_batch_size)
     ):
         self.prefix_cache = prefix_cache
+        if serving not in ("batch", "cb"):
+            raise ValueError(f"unknown serving mode {serving!r} (batch|cb)")
+        self._serving = serving
+        self._cb_slots = cb_slots
+        self._cb = None  # built lazily per (temperature-independent) config
         if fabricated is not None:
             self._init_fabricated(
                 fabricated, max_seq_len, max_batch_size, quantize, kv_quant
@@ -368,6 +377,17 @@ class JaxLlamaLLM:
             )
         self.llama = Llama(params, ByteTokenizer(), cfg, kv_quant=kv_quant)
 
+    def _batcher(self):
+        if self._cb is None:
+            from prego_tpu.serving_llm import ContinuousBatcher
+
+            self._cb = ContinuousBatcher(
+                self.llama,
+                slots=self._cb_slots or self.llama.config.max_batch_size,
+                prefix_sharing=self.prefix_cache,
+            )
+        return self._cb
+
     def text_completion(
         self,
         prompts: List[str],
@@ -375,6 +395,22 @@ class JaxLlamaLLM:
         temperature: float = 0.6,
         top_p: float = 0.9,
     ) -> List[Dict[str, str]]:
+        if self._serving == "cb":
+            # continuous-batching backend: the anticipation dispatch
+            # (step_batch x num_samples^2 prompts sharing a long context)
+            # runs through the slot loop — per-request retirement instead
+            # of drain-to-the-longest, prefix KV shared via the same LRU
+            # the batch path uses (VERDICT r3 #1c)
+            if max_gen_len is None:
+                max_gen_len = self.llama.config.max_seq_len - 1
+            toks = [
+                self.llama.tokenizer.encode(x, bos=True, eos=False)
+                for x in prompts
+            ]
+            outs = self._batcher().serve_prompts(
+                toks, max_gen_len, temperature=temperature, top_p=top_p
+            )
+            return [{"generation": self.llama.tokenizer.decode(t)} for t in outs]
         return self.llama.text_completion(
             prompts, temperature=temperature, top_p=top_p,
             max_gen_len=max_gen_len, use_prefix_cache=self.prefix_cache,

@@ -100,6 +100,13 @@ def main(argv: Optional[List[str]] = None):
     p.add_argument("--kv_quant", action="store_true",
                    help="int8 KV cache for --llm jax-llama (half the decode "
                    "cache traffic, double the context capacity)")
+    p.add_argument("--serving", type=str, default="batch",
+                   choices=["batch", "cb"],
+                   help="jax-llama dispatch mode: 'batch' = drain-style "
+                   "generate (reference semantics); 'cb' = continuous-"
+                   "batching slot loop with prefix-sharing admission")
+    p.add_argument("--cb_slots", type=int, default=None,
+                   help="slot count for --serving cb (default max_batch_size)")
     p.add_argument("--max_gen_len", type=int, default=8)
     p.add_argument("--temperature", type=float, default=0.6)
     p.add_argument("--top_p", type=float, default=0.9)
@@ -159,6 +166,8 @@ def main(argv: Optional[List[str]] = None):
             kv_quant=args.kv_quant,
             orbax_dir=args.orbax_dir,
             fabricated=args.fabricated,
+            serving=args.serving,
+            cb_slots=args.cb_slots,
         )
 
     seqs, contexts, toy2class, idx2action, idx2emoji = load_assets(args)

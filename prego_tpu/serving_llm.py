@@ -12,25 +12,31 @@ requests enter and leave mid-flight:
     write position — model.forward's per-row ``start_pos`` mode scatters
     cache updates per row and bounds attention per row (the bounded
     decode kernels take (B,) valid lengths straight into SMEM);
-  - admission prefills a request's prompt into a free slot's rows via
-    the same 64-token-chunk jits the prefix cache uses (bounded compile
-    signatures), then the slot joins the running batch at its own
-    offset;
-  - decode runs in fixed ``chunk``-step jitted scans between host
-    admission points; finished slots (eos / per-request budget) retire
-    and free their row without stalling live ones.
+  - admission is PREFIX-SHARING: when a request's prompt starts with a
+    prefix held in the Llama's shared KV-prefix LRU (the PREGO workload
+    sends the same per-toy few-shot context across hundreds of requests,
+    llama_meta.py:118-174), the cached B=1 prefix KV is copied into the
+    slot's rows and only the per-request SUFFIX is prefilled — in ONE
+    jitted dispatch (bucketed suffix lengths -> bounded compiles) that
+    also scatters the result into the batched tree in place (donated);
+  - decode runs in fixed ``chunk``-step jitted scans between admission
+    points, cache donated through; finished slots (eos / per-request
+    budget) retire and free their row without stalling live ones;
+  - the host syncs on ONE fetch per chunk (the emitted-token block);
+    slot liveness/budgets are mirrored host-side from the emissions, so
+    no device state ever round-trips back (the tunnel charges ~ms per
+    blocking fetch and the v1 loop paid six of them per chunk).
 
 Utilization therefore tracks offered load instead of worst-of-batch
-latency: a mixed-length request stream keeps every slot busy, where the
-reference's static batching idles short requests against the longest
-prompt in the batch.
+latency, and admission cost tracks the NOVEL tokens of each request
+instead of its full prompt.
 """
 
 from __future__ import annotations
 
 import functools
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -69,7 +75,10 @@ class ServeStats:
     decode_steps: int = 0
     slot_steps_live: int = 0  # sum over steps of live slots
     slot_steps_total: int = 0  # decode_steps * slots
-    prefills: int = 0
+    prefills: int = 0  # admissions
+    prefix_hits: int = 0  # admissions that reused a cached KV prefix
+    prefix_tokens_reused: int = 0  # prompt tokens NOT re-prefilled
+    suffix_tokens_prefilled: int = 0  # prompt tokens actually prefilled
     wall_s: float = 0.0
 
     @property
@@ -77,7 +86,7 @@ class ServeStats:
         return self.slot_steps_live / max(self.slot_steps_total, 1)
 
 
-def _insert_row(big: Cache, small: Cache, slot: jax.Array) -> Cache:
+def _insert_row_body(big: Cache, small: Cache, slot: jax.Array) -> Cache:
     """Scatter a B=1 cache tree into row ``slot`` of the batched tree."""
     return jax.tree.map(
         lambda b, s: jax.lax.dynamic_update_slice(
@@ -88,9 +97,69 @@ def _insert_row(big: Cache, small: Cache, slot: jax.Array) -> Cache:
     )
 
 
+# ``big`` is donated so the insert is an in-place row write instead of a
+# full-tree copy (the batched cache is GBs at the 7B serving shapes)
+_insert_row = functools.partial(jax.jit, donate_argnames=("big",))(_insert_row_body)
+
+# all-static jit: the whole S-row cache tree materializes in ONE device
+# dispatch (host-side init_cache issues one jnp.zeros per leaf — 128
+# tunnel round-trips at the 7B shapes)
+_init_cache_jit = functools.partial(
+    jax.jit, static_argnames=("config", "batch", "dtype", "quantized")
+)(init_cache)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config",), donate_argnames=("big",)
+)
+def _admit_row(
+    params,
+    rope,
+    prefix_cache,  # B=1 cache tree holding the shared prefix KV, or int32(0)
+    #                when the request has no cached prefix (zeros built in-jit)
+    suffix,  # (1, Lbuf) int32, pad-filled past the real suffix — bucketed
+    start,  # scalar int32: absolute position of suffix[0] (= prefix length)
+    big,  # batched (S-row) cache tree — DONATED (in-place row write)
+    slot,  # scalar int32
+    *,
+    config: LlamaConfig,
+):
+    """One-dispatch admission: continue the (possibly cached) B=1 prefix
+    KV with the request's suffix tokens, then scatter the row into the
+    batched tree.  Padded tail positions write garbage KV past the real
+    prompt body — harmless: decode overwrites position p before attending
+    it (forward updates the cache before the attention read), so padded
+    entries are never visible to any query.
+
+    The prefix LRU entry is NOT donated (it stays valid for the next
+    admission); the fresh-cache branch builds zeros inside the jit so a
+    prefix-less admission costs one dispatch, not one per cache leaf."""
+    if isinstance(prefix_cache, dict):
+        small = prefix_cache
+    else:
+        small = jax.tree.map(
+            lambda b: jnp.zeros((1,) + b.shape[1:], b.dtype), big
+        )
+    if suffix.shape[1] > 0:
+        _, small = forward(params, suffix, start, small, config, rope)
+    return _insert_row_body(big, small, slot)
+
+
+@jax.jit
+def _apply_admissions(tok, pos, live, remaining, new_tok, new_pos, new_rem, mask):
+    """Merge this round's admissions into the device-resident slot state
+    (one host->device transfer of four S-vectors, no fetch back)."""
+    tok = jnp.where(mask, new_tok, tok)
+    pos = jnp.where(mask, new_pos, pos)
+    remaining = jnp.where(mask, new_rem, remaining)
+    live = live | mask
+    return tok, pos, live, remaining
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "chunk", "temperature", "top_p", "eos_id"),
+    donate_argnames=("cache",),
 )
 def _decode_chunk(
     params, rope, cache, tok, pos, live, remaining, key,
@@ -99,7 +168,7 @@ def _decode_chunk(
     """``chunk`` lockstep decode steps over all S slots; per-row
     positions and bounds throughout.  Dead rows feed token 0 at a frozen
     position (their stale cache rows sit beyond every live row's valid
-    bound and are overwritten by the next prefill or by the row's own
+    bound and are overwritten by the next admission or by the row's own
     advancing writes before ever becoming visible)."""
 
     def step(carry, _):
@@ -123,13 +192,37 @@ def _decode_chunk(
     return tok, pos, live, remaining, cache, key, emits
 
 
+def _bucket(n: int, chunk: int = 64) -> int:
+    """Smallest power-of-two multiple of ``chunk`` >= n (bounded compile
+    signatures for the admission suffix prefill)."""
+    b = chunk
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class _Slot:
+    req: Request
+    remaining: int
+    toks: List[int] = field(default_factory=list)
+    admit_step: int = 0
+    admit_wall: float = 0.0
+
+
 class ContinuousBatcher:
     """Serve a request stream through S always-running decode slots.
 
-    ``llama`` is a generation.Llama (params/config/tokenizer reused; the
-    batcher owns its own cache sized to ``slots``).  temperature=0 gives
-    deterministic greedy output — the parity bar against per-request
-    generation (tests/test_serving_llm.py)."""
+    ``llama`` is a generation.Llama (params/config/tokenizer AND the
+    KV-prefix LRU are shared; the batcher owns its own S-row cache).
+    temperature=0 gives deterministic greedy output — the parity bar
+    against per-request generation (tests/test_serving_llm.py).
+
+    ``prefix_sharing=True`` (default) makes admission look up the longest
+    Llama-LRU prefix of each prompt and prefill only the remainder; use
+    ``register_prefix``/``serve_prompts`` to seed the LRU with a shared
+    context.  Admission NEVER creates LRU entries on its own (a random
+    no-sharing burst must not churn GB-scale cache slots)."""
 
     def __init__(
         self,
@@ -139,6 +232,7 @@ class ContinuousBatcher:
         temperature: float = 0.0,
         top_p: float = 0.9,
         seed: int = 1,
+        prefix_sharing: bool = True,
     ):
         self.llama = llama
         self.config: LlamaConfig = llama.config
@@ -147,44 +241,92 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.temperature = float(temperature)
         self.top_p = float(top_p)
+        self.prefix_sharing = prefix_sharing
         self.kv_quant = bool(getattr(llama, "kv_quant", False))
         self._cache_dtype = self.params["norm"].dtype  # bf16 on TPU, f32 CPU
         self._rope = precompute_rope(self.config)
         self._key = jax.random.PRNGKey(seed)
         self._eos_id = int(getattr(llama.tokenizer, "eos_id", -2))
-        self._insert = jax.jit(_insert_row)
+        self._cache: Optional[Cache] = None  # reused across serve() calls
 
-    # ------------------------------------------------------------- jits
+    # --------------------------------------------------------- prefixes
 
-    def _prefill_into_slot(self, cache: Cache, prompt: Sequence[int],
-                           slot: int) -> Cache:
-        """Chunked B=1 prefill of prompt[:-1], scattered into ``slot``.
-        The last prompt token is NOT prefilled — it is the slot's first
-        decode feed, so its forward yields the first sampling logits
-        (same trick as generation.py's suffix handling)."""
-        from prego_tpu.models.llama.generation import _prefill_chunk
+    def register_prefix(self, tokens: Sequence[int]) -> int:
+        """Seed the shared LRU with the chunk-aligned prefix of ``tokens``
+        (built/extended via the Llama's delta-prefill machinery). Returns
+        the aligned length actually cached (0 when too short)."""
+        eff = (len(tokens) // self.llama.PREFIX_CHUNK) * self.llama.PREFIX_CHUNK
+        if eff >= self.llama.PREFIX_CHUNK:
+            self.llama._ensure_prefix_cache(tuple(tokens[:eff]))
+            return eff
+        return 0
 
-        cfg = self.config
-        chunk = 64
-        body = list(prompt[:-1])
-        pad = (-len(body)) % chunk
-        padded = body + [0] * pad
-        small = init_cache(cfg, 1, dtype=self._cache_dtype, quantized=self.kv_quant)
-        for c in range(0, len(padded), chunk):
-            toks = jnp.asarray([padded[c : c + chunk]], jnp.int32)
-            small = _prefill_chunk(
-                self.params, toks, jnp.int32(c), small, config=cfg
-            )
-        return self._insert(cache, small, jnp.int32(slot))
+    def _lookup_prefix(self, body: Sequence[int]) -> Tuple[int, Optional[Cache]]:
+        """Longest cached LRU key that prefixes ``body``; (0, None) if none."""
+        if not self.prefix_sharing:
+            return 0, None
+        best = None
+        for k in self.llama._prefix_caches:
+            if len(k) <= len(body) and tuple(body[: len(k)]) == k:
+                if best is None or len(k) > len(best):
+                    best = k
+        if best is None:
+            return 0, None
+        cache = self.llama._prefix_caches[best]
+        self.llama._prefix_caches.move_to_end(best)  # LRU touch
+        return len(best), cache
+
+    # --------------------------------------------------------- admission
+
+    def _admit(self, cache: Cache, r: Request, slot: int,
+               stats: ServeStats) -> Cache:
+        """Write the request's prompt KV into the slot's rows: cached
+        prefix copied, suffix (prompt[:-1] past the prefix) prefilled in
+        one dispatch.  The last prompt token is NOT prefilled — it is the
+        slot's first decode feed, so its forward yields the first
+        sampling logits (same trick as generation.py's suffix handling)."""
+        body = list(r.prompt[:-1])
+        plen, prefix_cache = self._lookup_prefix(body)
+        suffix = body[plen:]
+        stats.prefills += 1
+        if plen:
+            stats.prefix_hits += 1
+            stats.prefix_tokens_reused += plen
+        stats.suffix_tokens_prefilled += len(suffix)
+        if not suffix and prefix_cache is None:
+            # single-token prompt, nothing cached: the slot decodes from
+            # position 0 and only ever attends positions it wrote itself,
+            # so the stale row needs no clearing
+            return cache
+        buf = _bucket(len(suffix)) if suffix else 0
+        padded = np.zeros((1, buf), np.int32)
+        padded[0, : len(suffix)] = suffix
+        return _admit_row(
+            self.params,
+            self._rope,
+            prefix_cache if prefix_cache is not None else jnp.int32(0),
+            jnp.asarray(padded),
+            jnp.int32(plen),
+            cache,
+            jnp.int32(slot),
+            config=self.config,
+        )
 
     # ------------------------------------------------------------- loop
 
-    def serve(self, requests: Sequence[Request],
-              collect_stats: bool = True) -> Tuple[List[Completion], ServeStats]:
+    def serve(
+        self,
+        requests: Sequence[Request],
+        collect_stats: bool = True,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+    ) -> Tuple[List[Completion], ServeStats]:
         """Run the stream to completion.  Requests are admitted in order
         as slots free up; completions return in finish order."""
         cfg = self.config
         S = self.slots
+        temperature = self.temperature if temperature is None else float(temperature)
+        top_p = self.top_p if top_p is None else float(top_p)
         for r in requests:
             if len(r.prompt) + r.max_gen_len > cfg.max_seq_len:
                 raise ValueError(
@@ -193,81 +335,134 @@ class ContinuousBatcher:
                 )
 
         t0 = time.perf_counter()
-        cache = init_cache(cfg, S, dtype=self._cache_dtype, quantized=self.kv_quant)
+        cache = self._cache
+        if cache is None:
+            cache = _init_cache_jit(
+                config=cfg, batch=S, dtype=self._cache_dtype,
+                quantized=self.kv_quant,
+            )
+        self._cache = None  # donated below; restored on return
         tok = jnp.zeros((S,), jnp.int32)
         pos = jnp.zeros((S,), jnp.int32)
         live = jnp.zeros((S,), bool)
         remaining = jnp.zeros((S,), jnp.int32)
 
         pending = list(requests)
-        slot_req: Dict[int, Request] = {}
-        slot_toks: Dict[int, List[int]] = {}
-        slot_admit_step: Dict[int, int] = {}
-        slot_admit_wall: Dict[int, float] = {}
+        slots: Dict[int, _Slot] = {}  # host mirror of live slots
         done: List[Completion] = []
         stats = ServeStats()
         step_idx = 0
 
-        while pending or slot_req:
-            # ---- admit into free slots (host-side; cache rows scatter)
-            tok_h, pos_h, live_h, rem_h = (
-                np.array(tok), np.array(pos), np.array(live),
-                np.array(remaining),
-            )
-            for s in range(S):
-                if not live_h[s] and s not in slot_req and pending:
-                    r = pending.pop(0)
-                    cache = self._prefill_into_slot(cache, r.prompt, s)
-                    tok_h[s] = r.prompt[-1]
-                    pos_h[s] = len(r.prompt) - 1
-                    live_h[s] = True
-                    rem_h[s] = r.max_gen_len
-                    slot_req[s] = r
-                    slot_toks[s] = []
-                    slot_admit_step[s] = step_idx
-                    slot_admit_wall[s] = time.perf_counter()
-                    stats.prefills += 1
-            tok = jnp.asarray(tok_h)
-            pos = jnp.asarray(pos_h)
-            live = jnp.asarray(live_h)
-            remaining = jnp.asarray(rem_h)
+        while pending or slots:
+            # ---- admit into free slots (cache rows scatter in place; the
+            # decode batch stalls only for the admitted suffix prefills)
+            if pending:
+                adm_tok = np.zeros((S,), np.int32)
+                adm_pos = np.zeros((S,), np.int32)
+                adm_rem = np.zeros((S,), np.int32)
+                adm_mask = np.zeros((S,), bool)
+                admitted = False
+                for s in range(S):
+                    if s not in slots and pending:
+                        r = pending.pop(0)
+                        cache = self._admit(cache, r, s, stats)
+                        adm_tok[s] = r.prompt[-1]
+                        adm_pos[s] = len(r.prompt) - 1
+                        adm_rem[s] = r.max_gen_len
+                        adm_mask[s] = True
+                        slots[s] = _Slot(
+                            req=r, remaining=r.max_gen_len,
+                            admit_step=step_idx,
+                            admit_wall=time.perf_counter(),
+                        )
+                        admitted = True
+                if admitted:
+                    tok, pos, live, remaining = _apply_admissions(
+                        tok, pos, live, remaining,
+                        jnp.asarray(adm_tok), jnp.asarray(adm_pos),
+                        jnp.asarray(adm_rem), jnp.asarray(adm_mask),
+                    )
 
-            # ---- one jitted chunk of lockstep decode
+            # ---- one jitted chunk of lockstep decode (cache donated)
             tok, pos, live, remaining, cache, self._key, emits = _decode_chunk(
                 self.params, self._rope, cache, tok, pos, live, remaining,
                 self._key, config=cfg, chunk=self.chunk,
-                temperature=self.temperature, top_p=self.top_p,
+                temperature=temperature, top_p=top_p,
                 eos_id=self._eos_id,
             )
-            emits_h = np.asarray(emits)  # (chunk, S)
-            live_h = np.asarray(live)
+            emits_h = np.asarray(emits)  # (chunk, S) — the ONE blocking fetch
             if collect_stats:
-                live_per_step = (emits_h != PAD_EMIT).sum()
                 stats.decode_steps += self.chunk
-                stats.slot_steps_live += int(live_per_step)
+                stats.slot_steps_live += int((emits_h != PAD_EMIT).sum())
                 stats.slot_steps_total += self.chunk * S
             step_idx += self.chunk
 
-            # ---- collect emissions; retire finished slots
-            for s in list(slot_req):
-                col = emits_h[:, s]
-                slot_toks[s].extend(int(t) for t in col if t != PAD_EMIT)
-                if not live_h[s]:
-                    r = slot_req.pop(s)
-                    toks = slot_toks.pop(s)
+            # ---- collect emissions; retire finished slots (host mirrors
+            # the device liveness rule: a slot emits until eos or budget)
+            for s in list(slots):
+                st = slots[s]
+                new = [int(t) for t in emits_h[:, s] if t != PAD_EMIT]
+                st.toks.extend(new)
+                st.remaining -= len(new)
+                if self._eos_id in new or st.remaining <= 0:
+                    slots.pop(s)
+                    toks = st.toks
                     if self._eos_id in toks:
                         toks = toks[: toks.index(self._eos_id) + 1]
+                    now = time.perf_counter()
                     done.append(
                         Completion(
-                            uid=r.uid,
+                            uid=st.req.uid,
                             tokens=toks,
-                            prompt_len=len(r.prompt),
-                            admitted_step=slot_admit_step.pop(s),
+                            prompt_len=len(st.req.prompt),
+                            admitted_step=st.admit_step,
                             finished_step=step_idx,
-                            wall_latency_s=time.perf_counter()
-                            - slot_admit_wall.pop(s),
-                            finished_wall_s=time.perf_counter() - t0,
+                            wall_latency_s=now - st.admit_wall,
+                            finished_wall_s=now - t0,
                         )
                     )
         stats.wall_s = time.perf_counter() - t0
+        self._cache = cache  # reuse the rows (and their buffers) next call
         return done, stats
+
+    # ------------------------------------------------- driver seam
+
+    def serve_prompts(
+        self,
+        prompt_tokens: Sequence[Sequence[int]],
+        max_gen_len: int,
+        temperature: Optional[float] = None,
+        top_p: Optional[float] = None,
+    ) -> List[List[int]]:
+        """text_completion-shaped entry: serve a batch of tokenized
+        prompts, seeding the shared LRU with their COMMON aligned prefix
+        first (exactly the sharing structure of the PREGO anticipation
+        dispatch — generate_with_prefix_cache computes the same split),
+        and return generated token lists in input order (eos stripped)."""
+        if not prompt_tokens:
+            return []
+        first = list(prompt_tokens[0])
+        common = min(len(t) for t in prompt_tokens)
+        shared = 0
+        while shared < common and all(
+            t[shared] == first[shared] for t in prompt_tokens
+        ):
+            shared += 1
+        # keep >= 1 prompt token after the prefix (the first decode feed)
+        self.register_prefix(first[: min(shared, common - 1)])
+        reqs = [
+            Request(
+                uid=i,
+                prompt=list(t),
+                max_gen_len=min(max_gen_len, self.config.max_seq_len - len(t)),
+            )
+            for i, t in enumerate(prompt_tokens)
+        ]
+        done, _ = self.serve(reqs, temperature=temperature, top_p=top_p)
+        out: List[List[int]] = [[] for _ in reqs]
+        for c in done:
+            toks = c.tokens
+            if self._eos_id in toks:
+                toks = toks[: toks.index(self._eos_id)]
+            out[c.uid] = toks
+        return out

@@ -141,6 +141,60 @@ def test_ollama_llm_drives_anticipation(fake_ollama):
     assert result.metrics is not None
 
 
+def test_jax_llama_cb_serving_matches_batch_greedy():
+    """--serving cb: text_completion through the continuous batcher is
+    greedy-identical to the drain-style batch path (VERDICT r3 #1c)."""
+    from prego_tpu.anticipation.llm import JaxLlamaLLM
+
+    batch = JaxLlamaLLM(None, None, fabricated="tiny", max_seq_len=256)
+    cb = JaxLlamaLLM(None, None, fabricated="tiny", serving="cb", max_seq_len=256)
+    # short prompts (no shareable prefix) AND long-shared-context prompts
+    ctx = "step list: " + ", ".join(str(i % 9) for i in range(60)) + "\n"
+    for prompts in (
+        ["Sequence: 1, 2, 3\nNext:\n", "Sequence: 1, 2\nNext:\n"],
+        [ctx + "next after 3:\n", ctx + "next after 7:\n", ctx + "next:\n"],
+    ):
+        a = batch.text_completion(prompts, max_gen_len=6, temperature=0.0)
+        b = cb.text_completion(prompts, max_gen_len=6, temperature=0.0)
+        assert a == b, prompts[0][:30]
+
+
+def test_cb_backend_drives_anticipation_with_context_reuse():
+    """The full PREGO driver through the CB backend: per-toy contexts are
+    prefix-prefilled ~once per CONTEXT, not per video or per step
+    (VERDICT r3 #1 'prefix-prefill count ≈ #contexts')."""
+    from prego_tpu.anticipation.driver import run_anticipation
+    from prego_tpu.anticipation.llm import JaxLlamaLLM
+
+    llm = JaxLlamaLLM(
+        None, None, fabricated="tiny", serving="cb",
+        max_seq_len=512, max_batch_size=8,
+    )
+    # context long enough that the 64-aligned prefix lands INSIDE the
+    # context for every step prompt (the real workload's regime: ~1.5k-
+    # token contexts vs ~64-token tails)
+    ctx_a = ("toy A steps: " + "3 1 4 1 5 9 2 6 " * 12)[:195]
+    ctx_b = ("toy B steps: " + "2 7 1 8 2 8 1 8 " * 12)[:195]
+    contexts = {"a21": {"num": ctx_a}, "a33": {"num": ctx_b}}
+    seqs = {
+        "v1-x-a21_1": {"pred": [1, 2, 3], "gt": [1, 2, 3]},
+        "v2-x-a21_2": {"pred": [2, 3], "gt": [2, 3]},
+        "v3-x-a33_1": {"pred": [4, 5], "gt": [4, 5]},
+        "v4-x-a33_2": {"pred": [5, 6], "gt": [5, 6]},
+    }
+    res = run_anticipation(
+        seqs, llm, dataset="assembly", contexts=contexts,
+        temperature=0.0, num_samples=2, max_gen_len=4,
+    )
+    assert len(res.preds) == 4
+    # samples = total anticipated steps across the 4 videos (3+2+2+2)
+    assert res.metrics is not None and res.metrics["samples"] == 9
+    # one from-scratch context prefill per toy; everything else reused
+    assert llm.llama.prefix_rebuilds == 2, (
+        llm.llama.prefix_rebuilds, llm.llama.prefix_extends
+    )
+
+
 def test_jax_llama_fabricated_tiny_drives_cli(tmp_path):
     """--fabricated runs the real driver with random weights at a named
     shape (timing demonstrations; no checkpoint assets needed)."""

@@ -151,3 +151,147 @@ def test_utilization_stat(llama):
     _, stats = cb.serve(reqs)
     assert 0.0 < stats.utilization <= 1.0
     assert stats.decode_steps >= 8
+
+
+# ------------------------------------------------ prefix-sharing admission
+
+
+@pytest.fixture(scope="module")
+def llama_long():
+    cfg = _cfg(slots=4, max_seq_len=512)
+    params = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    return Llama(params, ByteTokenizer(), cfg)
+
+
+def test_prefix_sharing_admission_parity_and_accounting(llama_long):
+    """Requests sharing a registered context: admission must reuse the
+    cached prefix KV (prefill only the novel suffix) AND still match the
+    solo-run greedy oracle exactly (VERDICT r3 #1a)."""
+    rng = np.random.default_rng(11)
+    ctx = rng.integers(4, 250, 150).tolist()
+    reqs = [
+        Request(
+            uid=i,
+            prompt=ctx + rng.integers(4, 250, 5 + i).tolist(),
+            max_gen_len=6,
+        )
+        for i in range(6)
+    ]
+    cb = ContinuousBatcher(llama_long, slots=2, chunk=4, temperature=0.0)
+    aligned = cb.register_prefix(ctx)
+    assert aligned == 128  # 150 floor-aligned to the 64-token chunk grid
+    done, stats = cb.serve(reqs)
+    assert stats.prefills == 6
+    assert stats.prefix_hits == 6
+    assert stats.prefix_tokens_reused == 6 * aligned
+    # only the novel tokens were prefilled: body minus the shared prefix
+    assert stats.suffix_tokens_prefilled == sum(
+        len(r.prompt) - 1 - aligned for r in reqs
+    )
+    by_uid = {c.uid: c for c in done}
+    for r in reqs:
+        want = _greedy_oracle(llama_long, r.prompt, r.max_gen_len)
+        assert by_uid[r.uid].tokens == want, r.uid
+
+
+def test_prefix_sharing_off_matches_on(llama_long):
+    """prefix_sharing must be a pure optimization: identical greedy
+    output with and without it."""
+    rng = np.random.default_rng(13)
+    ctx = rng.integers(4, 250, 100).tolist()
+    reqs = [
+        Request(uid=i, prompt=ctx + [10 + i, 20 + i], max_gen_len=5)
+        for i in range(3)
+    ]
+    on = ContinuousBatcher(llama_long, slots=2, chunk=4, temperature=0.0)
+    on.register_prefix(ctx)
+    done_on, stats_on = on.serve([Request(**vars(r)) for r in reqs])
+    off = ContinuousBatcher(
+        llama_long, slots=2, chunk=4, temperature=0.0, prefix_sharing=False
+    )
+    done_off, stats_off = off.serve([Request(**vars(r)) for r in reqs])
+    assert stats_on.prefix_hits == 3 and stats_off.prefix_hits == 0
+    a = {c.uid: c.tokens for c in done_on}
+    b = {c.uid: c.tokens for c in done_off}
+    assert a == b
+
+
+def test_cache_reuse_across_serve_calls(llama):
+    """The batcher reuses its slot cache between serve() calls; stale rows
+    from the previous burst must never leak into a later request."""
+    cb = ContinuousBatcher(llama, slots=2, chunk=4, temperature=0.0)
+    first = [Request(uid=0, prompt=[40] * 30, max_gen_len=6)]
+    cb.serve(first)
+    req = Request(uid=1, prompt=[5, 9, 11], max_gen_len=8)
+    done, _ = cb.serve([req])
+    assert done[0].tokens == _greedy_oracle(llama, req.prompt, 8)
+
+
+def test_serve_prompts_order_and_greedy_parity(llama_long):
+    """serve_prompts: input-order results, eos stripped, greedy output
+    equal to the drain-style generate path on the same prompts."""
+    rng = np.random.default_rng(17)
+    ctx = rng.integers(4, 250, 90).tolist()
+    prompts = [ctx + [30 + i] for i in range(5)]
+    cb = ContinuousBatcher(llama_long, slots=4, chunk=4, temperature=0.0)
+    got = cb.serve_prompts(prompts, max_gen_len=6)
+    want, _ = llama_long.generate(prompts, max_gen_len=6, temperature=0.0)
+    assert got == want
+
+
+def test_sampled_mode_matches_per_request_distribution(llama):
+    """VERDICT r3 #6: temperature>0 through the slot loop must draw from
+    the same per-step distributions as per-request generation.  Compare
+    empirical first-token distributions over N seeded draws (total-
+    variation distance) — the num_samples² PREGO sampling regime."""
+    prompt = [5, 9, 11]
+    N = 600
+    # 0.25 concentrates the tiny random model's next-token distribution
+    # (support ~17 at n=400) so the TV comparison has statistical power;
+    # at temperature 1.0 the distribution is near-flat over ~150 tokens
+    # and same-distribution sampling noise alone reads TV ~0.3
+    temperature, top_p = 0.25, 0.9
+    cb = ContinuousBatcher(
+        llama, slots=4, chunk=2, temperature=temperature, top_p=top_p, seed=23
+    )
+    done, _ = cb.serve(
+        [Request(uid=i, prompt=list(prompt), max_gen_len=1) for i in range(N)]
+    )
+    eos = llama.tokenizer.eos_id
+    cb_first = [c.tokens[0] for c in done]
+    outs, _ = llama.generate(
+        [list(prompt)] * N, max_gen_len=1, temperature=temperature, top_p=top_p
+    )
+    gen_first = [t[0] if t else eos for t in outs]  # generate cuts AT eos
+    assert len(cb_first) == len(gen_first) == N
+    support = sorted(set(cb_first) | set(gen_first))
+    assert len(support) > 1, "degenerate distribution — test is vacuous"
+    import collections
+
+    pa = collections.Counter(cb_first)
+    pb = collections.Counter(gen_first)
+    tv = 0.5 * sum(abs(pa[t] - pb[t]) / N for t in support)
+    assert tv < 0.2, (tv, pa.most_common(5), pb.most_common(5))
+
+
+def test_sampled_mode_budgets_and_retirement(llama):
+    """Sampled multi-step serving: every request retires at eos or its own
+    budget, never the batch's."""
+    rng = np.random.default_rng(29)
+    reqs = [
+        Request(
+            uid=i,
+            prompt=rng.integers(4, 250, rng.integers(2, 20)).tolist(),
+            max_gen_len=int(rng.integers(1, 10)),
+        )
+        for i in range(8)
+    ]
+    cb = ContinuousBatcher(llama, slots=3, chunk=4, temperature=0.9, top_p=0.9)
+    done, _ = cb.serve(reqs)
+    assert sorted(c.uid for c in done) == list(range(8))
+    eos = llama.tokenizer.eos_id
+    for c in done:
+        budget = next(r.max_gen_len for r in reqs if r.uid == c.uid)
+        assert len(c.tokens) <= budget
+        if len(c.tokens) < budget:
+            assert c.tokens[-1] == eos
