@@ -148,9 +148,16 @@ LLM_EXTRAS = (
     # the flagship PREGO serving number: 4-gen anticipation step,
     # step-batched x2, 1.5k-token shared context (1B-class shape)
     ("anticipation_step_sb2", "llm_anticipation_step_sb2", 600),
-    # the same step at the reference's TRUE scale (7B int8 + int8-KV);
-    # runs last so an exhausted budget drops it, never the 1B rows
+    # continuous batching on the PREGO-shaped shared-context burst
+    # (prefix-sharing admission; r3 left serving-burst rows
+    # builder-measured only)
+    ("serving_cb_7b_ctx", "llm_serving_cb_7b_ctx", 600),
+    # the anticipation step at the reference's TRUE scale (7B int8 +
+    # int8-KV); late so an exhausted budget drops it before the 1B rows
     ("anticipation_step_7b_int8_kv8_sb2", "llm_anticipation_step_7b_sb2", 720),
+    # 7B batched serving row (b16 int8+kv8) — driver-attests the batch
+    # sweep's representative point
+    ("decode_7b_b16_int8_kv8", "llm_decode_7b_b16_int8_kv8", 600),
 )
 
 
@@ -207,7 +214,14 @@ def _collect_llm_extras(weather_clean: bool) -> dict:
                 )
                 if proc.returncode == 0 and line:
                     row = json.loads(line)
-                    extras[f"{prefix}_ms_per_step"] = row["value"]
+                    if "tok/s" in row.get("unit", ""):  # serving-burst rows
+                        extras[f"{prefix}_useful_tok_s"] = row["value"]
+                        if "prefix_hits" in row:
+                            extras[f"{prefix}_prefix_hits"] = row["prefix_hits"]
+                        if "slot_utilization" in row:
+                            extras[f"{prefix}_slot_util"] = row["slot_utilization"]
+                    else:
+                        extras[f"{prefix}_ms_per_step"] = row["value"]
                     if "tok_per_s" in row:
                         extras[f"{prefix}_tok_s"] = row["tok_per_s"]
                     if "pct_of_floor" in row:

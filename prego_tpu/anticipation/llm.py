@@ -241,6 +241,8 @@ class JaxLlamaLLM:
         # Only the final int8 tree (~6.7 GB) is device_put.
         import contextlib
 
+        if tp is None:
+            tp = len(jax.devices())
         quantized_loaded = False
         stage_ctx = (
             (lambda: jax.default_device(jax.devices("cpu")[0]))
@@ -255,7 +257,12 @@ class JaxLlamaLLM:
                 vocab_size=tokenizer.n_words,
             )
             params = None
-            if orbax_dir and osp.isdir(orbax_dir):
+            if orbax_dir and osp.isdir(orbax_dir) and (tp > 1 and quantize):
+                # the int8 orbax cache holds the FUSED single-chip serving
+                # layout; tensor-parallel int8 needs the unfused fairscale
+                # layout, so convert fresh instead of restoring it
+                pass
+            elif orbax_dir and osp.isdir(orbax_dir):
                 from prego_tpu.checkpoint.orbax_io import load_llama_params
 
                 if quantize:
@@ -300,11 +307,33 @@ class JaxLlamaLLM:
             with stage_ctx():
                 params = convert_hf_checkpoint(ckpt_dir, config, dtype)
 
-        if tp is None:
-            tp = len(jax.devices())
-        if tp > 1 and not quantize:  # fused/int8 layouts are single-chip
+        if tp > 1:
+            # Multi-chip tensor parallelism — fairscale column/row layout
+            # as sharding metadata (llama/model.py:202-235; SURVEY §2.4).
+            # The UNfused leaves are sharded (fusion is a single-chip
+            # optimization); int8 leaves get quantized PartitionSpecs and
+            # the "xla" dense marker so every projection runs through the
+            # SPMD-partitionable dequant-fused XLA matmul instead of the
+            # single-chip Pallas kernels (VERDICT r3 #2 — previously
+            # quantize=True silently IGNORED tp).
+            import dataclasses as _dc
+
+            config = _dc.replace(config, tp_serving=True)
             mesh = tp_mesh(tp)
-            params = shard_params(params, llama_param_specs(config), mesh)
+            if quantize:
+                from prego_tpu.models.llama.model import (
+                    mark_xla_dense,
+                    quantize_params,
+                )
+
+                with stage_ctx():
+                    params = quantize_params(params)
+                params = shard_params(
+                    params, llama_param_specs(config, quantized=True), mesh
+                )
+                params = mark_xla_dense(params)
+            else:
+                params = shard_params(params, llama_param_specs(config), mesh)
         elif quantized_loaded:
             pass  # restored directly as fused int8 on the serving chip
         else:

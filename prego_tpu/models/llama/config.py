@@ -27,6 +27,14 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     max_batch_size: int = 32
     max_seq_len: int = 2048
+    # Multi-chip serving marker: params/cache are sharded over a ('tp',)
+    # mesh axis. The Pallas decode kernels lower to custom calls XLA's
+    # SPMD partitioner cannot split, so with tp_serving=True every kernel
+    # gate (flash/bounded decode attention, fused dense/FFN) stays off
+    # and the equivalent jnp paths run — those partition cleanly with
+    # collectives over ICI (SURVEY.md §2.4). Single-chip serving keeps
+    # the kernels.
+    tp_serving: bool = False
 
     @property
     def kv_heads(self) -> int:

@@ -267,10 +267,38 @@ def fuse_projections(params: Params) -> Params:
     return out
 
 
+def mark_xla_dense(params: Params) -> Params:
+    """Tag every int8 {"q","s"} leaf with the structural marker "xla": ()
+    so _dense routes it through the XLA dequant-fused matmul instead of
+    the Pallas kernel.  Used for tensor-parallel serving: a pallas_call
+    is a custom call XLA's SPMD partitioner cannot split, while the jnp
+    reference path partitions cleanly (dequant fuses into the sharded
+    dot).  The empty tuple adds no pytree leaves (same trick as the
+    "act" marker), so jit tracing and tree maps are unaffected."""
+
+    def tag(leaf):
+        if isinstance(leaf, dict) and "q" in leaf and "xla" not in leaf:
+            return {**leaf, "xla": ()}
+        return leaf
+
+    def walk(node):
+        if isinstance(node, dict) and "q" in node:
+            return tag(node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
 def _dense(x: jax.Array, leaf) -> jax.Array:
     """Dense projection dispatch: plain arrays use jnp.dot; int8-quantized
     {"q","s"} leaves stream through the dequantizing Pallas matmul on TPU
-    (XLA dequant fallback elsewhere). Returns f32."""
+    (XLA dequant fallback elsewhere, and whenever the leaf carries the
+    "xla" marker — tensor-parallel serving, see mark_xla_dense).
+    Returns f32."""
     if isinstance(leaf, dict) and "q" in leaf:
         from prego_tpu.ops.quant import (
             int8_matmul,
@@ -282,7 +310,7 @@ def _dense(x: jax.Array, leaf) -> jax.Array:
 
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = jax.default_backend() == "tpu" and "xla" not in leaf
         if "act" in leaf:  # int8 x int8 -> int32 MXU path
             xq, xs = quantize_activations(x2)
             if on_tpu:
@@ -366,6 +394,7 @@ def _attention(
             and isinstance(p["wqkv"], dict)
             and "q" in p["wqkv"]
             and "act" not in p["wqkv"]  # weight-only int8
+            and "xla" not in p["wqkv"]  # not tensor-parallel
             and _fused_dense_q8_supported()
         ):
             # rms_norm prologue fused into the int8 qkv projection
@@ -566,6 +595,7 @@ def _attention(
         and isinstance(p["wo"], dict)
         and "q" in p["wo"]
         and "act" not in p["wo"]  # weight-only int8
+        and "xla" not in p["wo"]  # not tensor-parallel
         and _fused_dense_q8_supported()
     ):
         # int8 wo projection + residual add in one program
@@ -589,18 +619,22 @@ def _flash_decode_supported(config: LlamaConfig) -> bool:
     import jax as _jax
 
     return (
-        config.head_dim % 128 == 0
+        not config.tp_serving  # pallas custom calls don't SPMD-partition
+        and config.head_dim % 128 == 0
         and config.max_seq_len % 256 == 0
         and _jax.default_backend() == "tpu"
     )
 
 
-def _feed_forward(layer_params: Params, x: jax.Array) -> jax.Array:
+def _feed_forward(
+    layer_params: Params, x: jax.Array, config: Optional[LlamaConfig] = None
+) -> jax.Array:
     p = layer_params
     if "w13" in p:  # fused serving layout
         if (
             not isinstance(p["w13"], dict)  # bf16 leaves only (not int8)
             and x.shape[1] == 1  # decode rows
+            and (config is None or not config.tp_serving)
             and _fused_ffn_supported()
         ):
             # whole SwiGLU FFN in one Pallas program (ops/fused_ffn.py):
@@ -699,6 +733,7 @@ def _ffn_sublayer(layer: Params, h: jax.Array, config: LlamaConfig) -> jax.Array
         "w13" in p
         and not isinstance(p["w13"], dict)  # bf16 leaves only (not int8)
         and h.shape[1] == 1  # decode rows
+        and not config.tp_serving
         and _fused_ffn_supported()
         and _fused_layer_supported()
     ):
@@ -714,6 +749,7 @@ def _ffn_sublayer(layer: Params, h: jax.Array, config: LlamaConfig) -> jax.Array
         and isinstance(p["w13"], dict)
         and "q" in p["w13"]
         and "act" not in p["w13"]  # weight-only int8 (not activation-quant)
+        and "xla" not in p["w13"]  # not tensor-parallel
         and h.shape[1] == 1
         and _fused_ffn_q8_supported()
         and _fused_layer_supported()
@@ -729,7 +765,7 @@ def _ffn_sublayer(layer: Params, h: jax.Array, config: LlamaConfig) -> jax.Array
             config.norm_eps,
         )
         return y.reshape(B, S, D)
-    return h + _feed_forward(p, rms_norm(h, nw, config.norm_eps))
+    return h + _feed_forward(p, rms_norm(h, nw, config.norm_eps), config)
 
 
 def _fold_batch_requested(batch: int, config: "LlamaConfig" = None) -> bool:
@@ -854,6 +890,7 @@ def forward(
         isinstance(out_w, dict)
         and "q" in out_w
         and "act" not in out_w  # weight-only int8
+        and "xla" not in out_w  # not tensor-parallel
         and h.shape[0] * h.shape[1] <= 64  # decode rows (prefill M too big)
         and _fused_dense_q8_supported()
     ):

@@ -25,13 +25,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from prego_tpu.models.llama.config import LlamaConfig
 
 
-def llama_param_specs(config: LlamaConfig, tp_axis: str = "tp") -> Dict[str, Any]:
-    col = P(None, tp_axis)
-    row = P(tp_axis, None)
+def llama_param_specs(
+    config: LlamaConfig, tp_axis: str = "tp",
+    quantized: bool = False, fused: bool = False,
+) -> Dict[str, Any]:
+    """PartitionSpec tree matching the parameter layout.
+
+    ``quantized=True`` matches weight-only int8 leaves ({"q": (K, N) int8,
+    "s": (1, N) f32} — ops/quant.py): column-parallel projections shard
+    BOTH q and the per-output-channel scales on the output dim; row-
+    parallel projections shard q on the input dim and replicate s (its N
+    axis is the unsharded output).  The int8x8 activation-quant layout
+    (leaf marker "act") is single-chip-only and has no specs.
+
+    ``fused=True`` matches the fused wqkv/w13 serving layout.  The specs
+    are CORRECT under SPMD (every output column is independent, so a
+    contiguous column split partitions the matmul fine) but NOT the
+    fairscale-equivalent layout: the q|k|v / gate|up block boundaries
+    cross shard boundaries, so the head-reshape slices downstream force
+    XLA to reshard activations per layer.  Multi-chip serving should use
+    the UNfused layout (JaxLlamaLLM does); the fused specs exist so a
+    fused tree can still be laid out and verified.
+    """
+
+    def leaf(spec: P, s_spec: P):
+        return {"q": spec, "s": s_spec} if quantized else spec
+
+    col = leaf(P(None, tp_axis), P(None, tp_axis))
+    row = leaf(P(tp_axis, None), P())
     rep = P()
+    if fused:
+        attention = {"wqkv": col, "wo": row}
+        feed_forward = {"w13": col, "w2": row}
+    else:
+        attention = {"wq": col, "wk": col, "wv": col, "wo": row}
+        feed_forward = {"w1": col, "w2": row, "w3": col}
     layer = {
-        "attention": {"wq": col, "wk": col, "wv": col, "wo": row},
-        "feed_forward": {"w1": col, "w2": row, "w3": col},
+        "attention": attention,
+        "feed_forward": feed_forward,
         "attention_norm": rep,
         "ffn_norm": rep,
     }
@@ -39,7 +70,7 @@ def llama_param_specs(config: LlamaConfig, tp_axis: str = "tp") -> Dict[str, Any
         "tok_embeddings": P(None, tp_axis),
         "layers": [layer for _ in range(config.n_layers)],
         "norm": rep,
-        "output": P(None, tp_axis),
+        "output": leaf(P(None, tp_axis), P(None, tp_axis)),
     }
 
 

@@ -351,16 +351,47 @@ def _serving_workload(tiny: bool, n_reqs: int, seed: int = 7):
             int(rng.integers(lo_g, hi_g)),
         )
         for _ in range(n_reqs)
-    ]
+    ], []
+
+
+def _serving_workload_ctx(tiny: bool, n_reqs: int, seed: int = 7):
+    """PREGO-shaped burst: a few shared per-toy contexts, each request =
+    context + short novel history tail (llama_meta.py:118-174 — hundreds
+    of requests share one few-shot context per toy).  The regime where
+    prefix-sharing admission should collapse prefill cost to ~#contexts
+    context prefills + tiny per-request suffixes."""
+    rng = np.random.default_rng(seed)
+    n_ctx = 2 if tiny else 4
+    # tiny contexts must still clear the 64-token prefix chunk so the
+    # smoke actually exercises prefix-sharing admission
+    ctx_len = 80 if tiny else 300
+    lo_t, hi_t = (2, 8) if tiny else (5, 40)
+    lo_g, hi_g = (2, 8) if tiny else (16, 96)
+    hi_id = 250 if tiny else 31999
+    contexts = [rng.integers(4, hi_id, ctx_len).tolist() for _ in range(n_ctx)]
+    work = []
+    for i in range(n_reqs):
+        ctx = contexts[i % n_ctx]
+        work.append(
+            (
+                ctx + rng.integers(4, hi_id, rng.integers(lo_t, hi_t)).tolist(),
+                int(rng.integers(lo_g, hi_g)),
+            )
+        )
+    return work, contexts
 
 
 def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
-                     n_reqs: int = 32, shape: str = "7b"):
-    """Mixed-length burst through S slots: continuous batching
-    (serving_llm.ContinuousBatcher) vs the reference's static batching
-    (generate() pads each group of S to its longest prompt and decodes
-    the whole group to its longest budget — generation.py:121-215)."""
-    case = f"serving_{mode}_{shape}_s{slots}"
+                     n_reqs: int = 32, shape: str = "7b",
+                     workload: str = "mixed"):
+    """Request burst through S slots: continuous batching
+    (serving_llm.ContinuousBatcher, prefix-sharing admission) vs the
+    reference's static batching (generate() pads each group of S to its
+    longest prompt and decodes the whole group to its longest budget —
+    generation.py:121-215).  workload="ctx" is the PREGO-shaped shared-
+    context stream.  Both modes WARM their jit signatures on a prologue
+    burst first — the measured wall is serving, not compilation."""
+    case = f"serving_{mode}_{shape}_s{slots}" + ("_ctx" if workload == "ctx" else "")
     from prego_tpu.serving_llm import ContinuousBatcher, Request
 
     if tiny:
@@ -370,12 +401,21 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
     else:
         llama, cfg = _llama_ref(shape, kv_quant=True, max_batch=slots,
                                 max_seq=512)
-    work = _serving_workload(tiny, n_reqs)
+    make = _serving_workload_ctx if workload == "ctx" else _serving_workload
+    work, contexts = make(tiny, n_reqs)
+    warm_work, _ = make(tiny, max(2, slots), seed=5)  # distinct stream, same
+    #                                                   length buckets
     gen_total = 0
-    t0 = time.perf_counter()
     if mode == "cb":
-        cb = ContinuousBatcher(llama, slots=slots, chunk=4 if tiny else 16,
+        cb = ContinuousBatcher(llama, slots=slots, chunk=4 if tiny else 8,
                                temperature=0.0)
+        for c in contexts:
+            cb.register_prefix(c)
+        cb.serve(  # warm: decode chunk + admission/insert signatures
+            [Request(uid=-1 - i, prompt=p, max_gen_len=min(g, 4))
+             for i, (p, g) in enumerate(warm_work)]
+        )
+        t0 = time.perf_counter()
         done, stats = cb.serve(
             [Request(uid=i, prompt=p, max_gen_len=g)
              for i, (p, g) in enumerate(work)]
@@ -383,9 +423,14 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
         dt = time.perf_counter() - t0
         lats = sorted(c.finished_wall_s for c in done)
         gen_total = sum(len(c.tokens) for c in done)
-        util = stats.utilization
     else:  # static: groups of `slots` in arrival order via generate()
+        for i in range(0, len(warm_work), slots):  # warm each buf bucket
+            group = warm_work[i : i + slots]
+            llama.generate([p for p, _ in group],
+                           max_gen_len=max(g for _, g in group),
+                           temperature=0.0)
         finish = []
+        t0 = time.perf_counter()
         for i in range(0, len(work), slots):
             group = work[i : i + slots]
             outs, _ = llama.generate(
@@ -403,20 +448,22 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
                 finish.append(now)
         dt = time.perf_counter() - t0
         lats = sorted(finish)
-        util = float("nan")
     p50 = lats[len(lats) // 2]
     p95 = lats[min(int(len(lats) * 0.95), len(lats) - 1)]
     row = {
         "case": case,
         "value": round(gen_total / dt, 1),
-        "unit": "useful tok/s (mixed burst)",
+        "unit": f"useful tok/s ({workload} burst)",
         "wall_s": round(dt, 2),
         "n_reqs": n_reqs,
         "lat_p50_s": round(p50, 2),
         "lat_p95_s": round(p95, 2),
     }
     if mode == "cb":
-        row["slot_utilization"] = round(util, 3)
+        row["slot_utilization"] = round(stats.utilization, 3)
+        row["prefix_hits"] = stats.prefix_hits
+        row["prefix_tokens_reused"] = stats.prefix_tokens_reused
+        row["suffix_tokens_prefilled"] = stats.suffix_tokens_prefilled
     return row
 
 
@@ -455,6 +502,14 @@ CASES = {
     "decode_7b_int8x8": lambda tiny: bench_decode_7b(1, tiny, activations=True),
     "serving_cb_7b": lambda tiny: bench_serving_cb(tiny, mode="cb"),
     "serving_static_7b": lambda tiny: bench_serving_cb(tiny, mode="static"),
+    # PREGO-shaped burst (4 shared 300-token contexts): the prefix-
+    # sharing admission regime — prefill cost ~#contexts, not ~#requests
+    "serving_cb_7b_ctx": lambda tiny: bench_serving_cb(
+        tiny, mode="cb", workload="ctx"),
+    "serving_static_7b_ctx": lambda tiny: bench_serving_cb(
+        tiny, mode="static", workload="ctx"),
+    "serving_cb_7b_s16_ctx": lambda tiny: bench_serving_cb(
+        tiny, mode="cb", slots=16, n_reqs=48, workload="ctx"),
     # 16-slot variants: flat-head attention makes the b16 decode
     # marginal nearly batch-flat (12.13 vs 12.09 ms at b8), so doubling
     # the slot count should nearly double useful tok/s on a deep burst

@@ -15,13 +15,30 @@
 #   WORKDIR        output workspace                           [regression_out]
 #   LLM            fake | hf | jax-llama                      [fake]
 #   CKPT_DIR, TOKENIZER   required when LLM=jax-llama
+#
+# `--dry-run` validates the expected-asset MANIFEST (paths + shape
+# contracts + pinned digests, configs/real_assets_manifest.json) against
+# whatever is mounted and exits — no training, no assets required. The
+# strict manifest check also runs as step 0 of a real invocation.
 set -euo pipefail
 
 REFERENCE=${REFERENCE:-/root/reference}
-FEATURES_ROOT=${FEATURES_ROOT:?set FEATURES_ROOT to the TSN feature tree}
 DATASET=${DATASET:-assembly101-O}
 WORKDIR=${WORKDIR:-regression_out}
 LLM=${LLM:-fake}
+
+REPO_DIR=$(cd "$(dirname "$0")/.." && pwd)
+if [ "${1:-}" = "--dry-run" ]; then
+  exec python -m prego_tpu.cli.asset_manifest \
+    --manifest "$REPO_DIR/configs/real_assets_manifest.json" \
+    --dataset "$DATASET" \
+    --features_root "${FEATURES_ROOT:-}" \
+    --ckpt_dir "${CKPT_DIR:-}" \
+    --tokenizer_path "${TOKENIZER:-}" \
+    --dry-run
+fi
+
+FEATURES_ROOT=${FEATURES_ROOT:?set FEATURES_ROOT to the TSN feature tree}
 case "$DATASET" in
   assembly101-O) ANT_DATASET=assembly ;;
   epic-tent-O)   ANT_DATASET=epictent ;;
@@ -31,6 +48,16 @@ esac
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 cd "$REPO"
 mkdir -p "$WORKDIR"
+
+echo "== 0/6 asset manifest (strict) =="
+# features always validated; tokenizer/checkpoint validated when their
+# paths are supplied (LLM=jax-llama), reported as skipped otherwise
+python -m prego_tpu.cli.asset_manifest \
+  --manifest "$REPO/configs/real_assets_manifest.json" \
+  --dataset "$DATASET" \
+  --features_root "$FEATURES_ROOT" \
+  --ckpt_dir "${CKPT_DIR:-}" \
+  --tokenizer_path "${TOKENIZER:-}"
 
 echo "== 1/6 import reference data assets =="
 python -m prego_tpu.cli.import_reference_data \
