@@ -81,13 +81,21 @@ def int8_matmul(
     x: jax.Array,  # (M, K)
     q: jax.Array,  # (K, N) int8
     scale: jax.Array,  # (1, N) f32
-    n_block: int = 512,
+    n_block: int = None,
     m_block: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """Returns x @ dequant(q) as (M, N) f32. Grid over (M, N) tiles so
     both tiny decode rows and large prefill batches fit VMEM; M is padded
-    up to a block multiple and sliced back."""
+    up to a block multiple and sliced back.
+
+    ``n_block`` default 512; PREGO_Q8_NBLOCK overrides (the tile sweep
+    lever — scripts/sweep_q8_nblock.py; _fit_blocks still clamps to the
+    scoped-VMEM budget, so oversized requests degrade gracefully)."""
+    if n_block is None:
+        import os
+
+        n_block = int(os.environ.get("PREGO_Q8_NBLOCK", "512"))
     M, K = x.shape
     N = q.shape[1]
     # bf16 x-blocks: the kernel computes in bf16 anyway, and f32 blocks

@@ -409,8 +409,11 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
     if mode == "cb":
         cb = ContinuousBatcher(llama, slots=slots, chunk=4 if tiny else 8,
                                temperature=0.0)
+        t_reg = time.perf_counter()
         for c in contexts:
             cb.register_prefix(c)
+        t_reg = time.perf_counter() - t_reg  # one-time per-toy context cost,
+        #                                      reported separately below
         cb.serve(  # warm: decode chunk + admission/insert signatures
             [Request(uid=-1 - i, prompt=p, max_gen_len=min(g, 4))
              for i, (p, g) in enumerate(warm_work)]
@@ -464,6 +467,8 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
         row["prefix_hits"] = stats.prefix_hits
         row["prefix_tokens_reused"] = stats.prefix_tokens_reused
         row["suffix_tokens_prefilled"] = stats.suffix_tokens_prefilled
+        if contexts:
+            row["ctx_register_s"] = round(t_reg, 2)
     return row
 
 

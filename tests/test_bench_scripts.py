@@ -73,3 +73,38 @@ def test_bench_llm_tiny_serving_cases():
     assert cb["case"] == "serving_cb_7b_s8" and cb["value"] > 0
     assert 0 < cb["slot_utilization"] <= 1
     assert st["case"] == "serving_static_7b_s8" and st["value"] > 0
+
+
+def test_bench_llm_tiny_ctx_workload_exercises_prefix_sharing():
+    """The PREGO-shaped burst must actually hit the prefix cache even at
+    smoke scale (the 80-token tiny contexts clear the 64-token chunk)."""
+    (cb,) = _run(["scripts/bench_llm.py", "--case", "serving_cb_7b_ctx", "--tiny"])
+    assert cb["case"] == "serving_cb_7b_s8_ctx"
+    assert cb["prefix_hits"] > 0
+    assert cb["prefix_tokens_reused"] > 0
+    (st,) = _run(
+        ["scripts/bench_llm.py", "--case", "serving_static_7b_ctx", "--tiny"]
+    )
+    assert st["value"] > 0
+
+
+def test_sweep_q8_nblock_tiny():
+    rows = _run(["scripts/sweep_q8_nblock.py", "--tiny"])
+    projs = {r["proj"] for r in rows if "proj" in r}
+    assert projs == {"wqkv", "w2"}
+    assert all(r["ms"] > 0 for r in rows if "proj" in r)
+    assert any("summary_n_block" in r for r in rows)
+
+
+def test_ab_flat_verdicts_tiny():
+    """Hermetic CPU run of the flat-vs-perhead VERDICT A/B harness: the
+    kernels are TPU-only, so the two variants must be identical here —
+    validating the plumbing, not the flip rate (that's the chip run)."""
+    (row,) = _run(
+        ["scripts/ab_flat_verdicts.py", "--tiny", "--videos", "3"]
+    )
+    assert row["case"] == "ab_flat_verdicts_tiny"
+    assert row["steps"] > 0
+    assert row["verdict_flips"] == 0
+    assert row["set_mismatch_steps"] == 0
+    assert row["metrics_flat"] == row["metrics_perhead"]
