@@ -86,6 +86,18 @@ def _decode_kernel(
             out_ref[0, g] = (acc_ref[g] / denom).astype(out_ref.dtype)
 
 
+def _t_block_default() -> int:
+    """Block length staged per DMA by the bounded kernels.  Default 256;
+    PREGO_T_BLOCK overrides (trace-time).  The LAST block of a walk is
+    always staged in full, so at short serving occupancies (valid ~72 of
+    a 256-token window in the decode bench) a 256 block over-reads KV by
+    ~2-3x — a 128 block halves that at the cost of twice the loop trips
+    on long contexts.  Sweep on chip via scripts/chipq_r4*."""
+    import os
+
+    return int(os.environ.get("PREGO_T_BLOCK", "256"))
+
+
 def decode_attention(
     q: jax.Array,  # (B, KV, R, hd) — query for ONE token per sequence
     cache_k: jax.Array,  # (B, KV, T, hd)
@@ -718,7 +730,7 @@ def decode_attention_bounded(
     cache_k: jax.Array,  # (B, KV, T, hd)
     cache_v: jax.Array,  # (B, KV, T, hd)
     valid_len: jax.Array,  # scalar int32
-    t_block: int = 256,
+    t_block: int = None,
     interpret: bool = False,
     fold_batch: bool = False,
     head_group: int = 1,
@@ -742,6 +754,8 @@ def decode_attention_bounded(
     valids plus the batch max in the last slot."""
     B, KV, R, hd = q.shape
     T = cache_k.shape[2]
+    if t_block is None:
+        t_block = _t_block_default()
     t_block = min(t_block, T)
     if T % t_block != 0:
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
@@ -835,7 +849,7 @@ def decode_attention_bounded_wo(
     cache_v: jax.Array,  # (B, KV, T, hd)
     valid_len: jax.Array,  # scalar int32
     wo: jax.Array,  # (KV*R*hd, D) bf16 — the attention output projection
-    t_block: int = 256,
+    t_block: int = None,
     interpret: bool = False,
     residual: "jax.Array | None" = None,  # (B, 1, D) — fuse h + proj
 ) -> jax.Array:
@@ -857,6 +871,8 @@ def decode_attention_bounded_wo(
     T = cache_k.shape[2]
     D = wo.shape[1]
     assert wo.shape[0] == KV * R * hd, (wo.shape, KV * R * hd)
+    if t_block is None:
+        t_block = _t_block_default()
     t_block = min(t_block, T)
     if T % t_block != 0:
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
@@ -928,7 +944,7 @@ def decode_attention_bounded_wo_res_upd(
     cache_v: jax.Array,
     pos: jax.Array,  # scalar int32 write position; attends to <= pos
     wo: jax.Array,  # (KV*R*hd, D)
-    t_block: int = 256,
+    t_block: int = None,
     interpret: bool = False,
 ):
     """Attention sub-layer tail as one program: cache write + bounded
@@ -942,6 +958,8 @@ def decode_attention_bounded_wo_res_upd(
     assert wo.shape[0] == KV * R * hd, (wo.shape, KV * R * hd)
     assert residual.shape == (B, 1, D), (residual.shape, (B, 1, D))
     assert k_new.shape == (B, KV, 1, hd), k_new.shape
+    if t_block is None:
+        t_block = _t_block_default()
     t_block = min(t_block, T)
     if T % t_block != 0:
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")
@@ -1358,7 +1376,7 @@ def decode_attention_bounded_q8(
     cache_vq: jax.Array,  # (B, KV, T, hd) int8
     cache_vs: jax.Array,  # (B, KV, T) f32
     valid_len: jax.Array,
-    t_block: int = 256,
+    t_block: int = None,
     interpret: bool = False,
     int8_mxu: bool = False,
     fold_batch: bool = False,
@@ -1389,6 +1407,8 @@ def decode_attention_bounded_q8(
         head_loop = q8hl if q8hl is not None else q.shape[1] > 32
     B, KV, R, hd = q.shape
     T = cache_kq.shape[2]
+    if t_block is None:
+        t_block = _t_block_default()
     t_block = min(t_block, T)
     if T % t_block != 0:
         raise ValueError(f"T={T} not a multiple of t_block={t_block}")

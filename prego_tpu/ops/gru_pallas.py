@@ -127,7 +127,7 @@ def gru_recurrence_pallas(
             pl.BlockSpec(
                 (batch_block, H), lambda b, t: (b, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # W_hh: manual one-time DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # W_hh: manual one-time DMA
             pl.BlockSpec((1, threeH), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[

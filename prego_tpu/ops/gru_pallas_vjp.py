@@ -153,7 +153,7 @@ def gru_bwd_pallas(
             pl.BlockSpec((time_block, batch_block, threeH), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((time_block, batch_block, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((time_block, batch_block, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, threeH), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
