@@ -145,6 +145,50 @@ def _admit_row(
     return _insert_row_body(big, small, slot)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "batch"), donate_argnames=("big",)
+)
+def _admit_rows_shared_prefix(
+    params,
+    rope,
+    prefix_cache,  # B=1 cache tree with the SHARED prefix KV, or int32(0)
+    suffixes,  # (batch, Lbuf) int32, per-row pad-filled — bucketed
+    start,  # scalar int32: the shared prefix length (same for all rows)
+    big,  # batched cache tree — DONATED
+    slots_idx,  # (batch,) int32 slot of each row
+    *,
+    config: LlamaConfig,
+    batch: int,
+):
+    """Batched admission for K requests sharing one cached prefix: the
+    prefix KV broadcasts to K rows in-jit, the K suffixes prefill in ONE
+    forward (one weight stream instead of K — the dominant admission cost
+    at 7B is streaming 6.6 GB of int8 weights per dispatch), and each row
+    scatters to its slot.  Per-row padded tails write garbage KV past
+    each row's real body; decode overwrites position p before attending
+    it, so the garbage is never visible (same argument as _admit_row)."""
+    if isinstance(prefix_cache, dict):
+        small = jax.tree.map(lambda x: jnp.repeat(x, batch, axis=0), prefix_cache)
+    else:
+        small = jax.tree.map(
+            lambda b: jnp.zeros((batch,) + b.shape[1:], b.dtype), big
+        )
+    if suffixes.shape[1] > 0:
+        _, small = forward(params, suffixes, start, small, config, rope)
+
+    def scatter_leaf(b, s):
+        def body(i, acc):
+            row = jax.lax.dynamic_slice_in_dim(s, i, 1, axis=0)
+            return jax.lax.dynamic_update_slice(
+                acc, row.astype(b.dtype),
+                (slots_idx[i],) + (0,) * (b.ndim - 1),
+            )
+
+        return jax.lax.fori_loop(0, batch, body, b)
+
+    return jax.tree.map(scatter_leaf, big, small)
+
+
 @jax.jit
 def _apply_admissions(tok, pos, live, remaining, new_tok, new_pos, new_rem, mask):
     """Merge this round's admissions into the device-resident slot state
@@ -278,39 +322,60 @@ class ContinuousBatcher:
 
     # --------------------------------------------------------- admission
 
-    def _admit(self, cache: Cache, r: Request, slot: int,
-               stats: ServeStats) -> Cache:
-        """Write the request's prompt KV into the slot's rows: cached
-        prefix copied, suffix (prompt[:-1] past the prefix) prefilled in
-        one dispatch.  The last prompt token is NOT prefilled — it is the
-        slot's first decode feed, so its forward yields the first
-        sampling logits (same trick as generation.py's suffix handling)."""
-        body = list(r.prompt[:-1])
-        plen, prefix_cache = self._lookup_prefix(body)
-        suffix = body[plen:]
-        stats.prefills += 1
-        if plen:
-            stats.prefix_hits += 1
-            stats.prefix_tokens_reused += plen
-        stats.suffix_tokens_prefilled += len(suffix)
-        if not suffix and prefix_cache is None:
-            # single-token prompt, nothing cached: the slot decodes from
-            # position 0 and only ever attends positions it wrote itself,
-            # so the stale row needs no clearing
-            return cache
-        buf = _bucket(len(suffix)) if suffix else 0
-        padded = np.zeros((1, buf), np.int32)
-        padded[0, : len(suffix)] = suffix
-        return _admit_row(
-            self.params,
-            self._rope,
-            prefix_cache if prefix_cache is not None else jnp.int32(0),
-            jnp.asarray(padded),
-            jnp.int32(plen),
-            cache,
-            jnp.int32(slot),
-            config=self.config,
-        )
+    def _admit_batch(self, cache: Cache, assignments, stats: ServeStats) -> Cache:
+        """Write each (slot, request)'s prompt KV into its slot rows:
+        cached prefix copied, suffix (prompt[:-1] past the prefix)
+        prefilled.  Requests sharing the same cached prefix admit in ONE
+        batched dispatch (one weight stream for the whole group — the
+        per-dispatch weight read dominates admission cost at 7B).  The
+        last prompt token is NOT prefilled — it is the slot's first
+        decode feed, so its forward yields the first sampling logits
+        (same trick as generation.py's suffix handling)."""
+        groups: Dict[object, List] = {}
+        for slot, r in assignments:
+            body = list(r.prompt[:-1])
+            plen, prefix_cache = self._lookup_prefix(body)
+            suffix = body[plen:]
+            stats.prefills += 1
+            if plen:
+                stats.prefix_hits += 1
+                stats.prefix_tokens_reused += plen
+            stats.suffix_tokens_prefilled += len(suffix)
+            if not suffix and prefix_cache is None:
+                # single-token prompt, nothing cached: the slot decodes
+                # from position 0 and only ever attends positions it
+                # wrote itself, so the stale row needs no clearing
+                continue
+            key = (plen, id(prefix_cache) if prefix_cache is not None else None)
+            groups.setdefault(key, [prefix_cache, []])[1].append((slot, suffix))
+
+        for (plen, _), (prefix_cache, rows) in groups.items():
+            base = (
+                prefix_cache if prefix_cache is not None else jnp.int32(0)
+            )
+            if len(rows) == 1:
+                slot, suffix = rows[0]
+                buf = _bucket(len(suffix)) if suffix else 0
+                padded = np.zeros((1, buf), np.int32)
+                padded[0, : len(suffix)] = suffix
+                cache = _admit_row(
+                    self.params, self._rope, base, jnp.asarray(padded),
+                    jnp.int32(plen), cache, jnp.int32(slot),
+                    config=self.config,
+                )
+            else:
+                longest = max(len(s) for _, s in rows)
+                buf = _bucket(longest) if longest else 0
+                padded = np.zeros((len(rows), buf), np.int32)
+                for i, (_, s) in enumerate(rows):
+                    padded[i, : len(s)] = s
+                cache = _admit_rows_shared_prefix(
+                    self.params, self._rope, base, jnp.asarray(padded),
+                    jnp.int32(plen), cache,
+                    jnp.asarray([s for s, _ in rows], jnp.int32),
+                    config=self.config, batch=len(rows),
+                )
+        return cache
 
     # ------------------------------------------------------------- loop
 
@@ -362,10 +427,11 @@ class ContinuousBatcher:
                 adm_rem = np.zeros((S,), np.int32)
                 adm_mask = np.zeros((S,), bool)
                 admitted = False
+                assignments = []
                 for s in range(S):
                     if s not in slots and pending:
                         r = pending.pop(0)
-                        cache = self._admit(cache, r, s, stats)
+                        assignments.append((s, r))
                         adm_tok[s] = r.prompt[-1]
                         adm_pos[s] = len(r.prompt) - 1
                         adm_rem[s] = r.max_gen_len
@@ -376,6 +442,8 @@ class ContinuousBatcher:
                             admit_wall=time.perf_counter(),
                         )
                         admitted = True
+                if assignments:
+                    cache = self._admit_batch(cache, assignments, stats)
                 if admitted:
                     tok, pos, live, remaining = _apply_admissions(
                         tok, pos, live, remaining,
