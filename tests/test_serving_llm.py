@@ -239,6 +239,33 @@ def test_serve_prompts_order_and_greedy_parity(llama_long):
     assert got == want
 
 
+def test_prefix_sharing_with_kv_quant_batched_admission():
+    """The 7B serving config's exact combination: int8 KV cache + prefix
+    sharing + multi-slot batched admission; parity vs its own B=1 CB
+    oracle (int8 cache quantization differs from the bf16 oracle)."""
+    cfg = _cfg(slots=4, max_seq_len=512)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    llama = Llama(params, ByteTokenizer(), cfg, kv_quant=True)
+    rng = np.random.default_rng(3)
+    ctx = rng.integers(4, 250, 150).tolist()
+    reqs = [
+        Request(uid=i, prompt=ctx + rng.integers(4, 250, 5 + i).tolist(),
+                max_gen_len=6)
+        for i in range(6)
+    ]
+    cb = ContinuousBatcher(llama, slots=4, chunk=4, temperature=0.0)
+    cb.register_prefix(ctx)
+    done, stats = cb.serve(reqs)
+    assert stats.prefix_hits == 6
+    by_uid = {c.uid: c.tokens for c in done}
+    for r in reqs:
+        solo = ContinuousBatcher(llama, slots=1, chunk=4, temperature=0.0)
+        want, _ = solo.serve(
+            [Request(uid=0, prompt=list(r.prompt), max_gen_len=r.max_gen_len)]
+        )
+        assert by_uid[r.uid] == want[0].tokens, r.uid
+
+
 def test_sampled_mode_matches_per_request_distribution(llama):
     """VERDICT r3 #6: temperature>0 through the slot loop must draw from
     the same per-step distributions as per-request generation.  Compare
