@@ -283,6 +283,48 @@ def bench_decode_7b(batch: int, tiny: bool, kv_quant: bool = False,
     }
 
 
+def bench_anticipation_step_7b_cb(tiny: bool, step_batch: int = 2,
+                                  slots: int = 8):
+    """The 7B anticipation step routed through the continuous-batching
+    slot loop (serve_prompts — the --serving cb driver backend) instead
+    of drain-style generate_with_prefix_cache: same prompts, same
+    sampling, per-request retirement + prefix-sharing admission."""
+    if tiny:
+        return {"case": f"anticipation_step_7b_cb_sb{step_batch}",
+                "skipped": "tiny"}
+    from prego_tpu.serving_llm import ContinuousBatcher
+
+    bsz = 4 * step_batch
+    llama, cfg = _llama_7b(True, max_batch=max(bsz, slots), max_seq=2048)
+    cb = ContinuousBatcher(llama, slots=slots, chunk=8, temperature=0.6)
+    rng = np.random.default_rng(0)
+    context = rng.integers(4, 31999, 1500).tolist()
+    gen_len = 8
+
+    def step(observed):
+        prompts = []
+        for s in range(step_batch):
+            prompts.extend([context + observed + list(range(7, 7 + s))] * 4)
+        return cb.serve_prompts(prompts, max_gen_len=gen_len,
+                                temperature=0.6, top_p=0.9)
+
+    step([7, 8, 9])  # compile + context prefill (per-video one-time cost)
+    t0 = time.perf_counter()
+    reps = 5
+    for i in range(reps):
+        step([7, 8, 9] + rng.integers(4, 31999, i % 5).tolist())
+    dt = (time.perf_counter() - t0) / reps / step_batch
+    return {
+        "case": f"anticipation_step_7b_cb_sb{step_batch}",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step (4 gens, shared ctx, CB backend)",
+        "ctx_len": 1500,
+        "step_batch": step_batch,
+        "prefix_rebuilds": llama.prefix_rebuilds,
+        "prefix_extends": llama.prefix_extends,
+    }
+
+
 def bench_anticipation_step_7b(tiny: bool, kv_quant: bool = True,
                                step_batch: int = 1):
     """The PREGO anticipation step AT THE REFERENCE SHAPE: 4 sampled
@@ -529,6 +571,8 @@ CASES = {
     "anticipation_step_7b_int8_kv8": lambda tiny: bench_anticipation_step_7b(tiny),
     "anticipation_step_7b_int8_kv8_sb2": lambda tiny: bench_anticipation_step_7b(
         tiny, step_batch=2),
+    # same step through the continuous-batching backend (--serving cb)
+    "anticipation_step_7b_cb_sb2": lambda tiny: bench_anticipation_step_7b_cb(tiny),
 }
 
 
