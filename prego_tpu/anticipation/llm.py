@@ -242,7 +242,13 @@ class JaxLlamaLLM:
         import contextlib
 
         if tp is None:
-            tp = len(jax.devices())
+            # bf16 keeps the historical default (use every visible device);
+            # QUANTIZED serving defaults to single-chip — the int8 fused
+            # layout + Pallas kernels are the flagship one-chip mode, and
+            # auto-sharding it just because multiple devices are visible
+            # (e.g. a CPU test mesh) would silently swap layouts. Pass
+            # tp>1 explicitly for multi-chip int8 (unfused + xla paths).
+            tp = 1 if quantize else len(jax.devices())
         quantized_loaded = False
         stage_ctx = (
             (lambda: jax.default_device(jax.devices("cpu")[0]))
