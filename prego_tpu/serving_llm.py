@@ -277,6 +277,7 @@ class ContinuousBatcher:
         top_p: float = 0.9,
         seed: int = 1,
         prefix_sharing: bool = True,
+        overlap_fetch: bool = False,
     ):
         self.llama = llama
         self.config: LlamaConfig = llama.config
@@ -286,6 +287,15 @@ class ContinuousBatcher:
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.prefix_sharing = prefix_sharing
+        # Pipeline the per-chunk emits fetch behind the NEXT chunk's
+        # execution: the host processes chunk N-1's emissions while the
+        # device runs chunk N. Hides one transfer round-trip per chunk —
+        # material on a remote/tunneled device (~tens of ms per blocking
+        # fetch), a slight net loss locally (admission lags one chunk, so
+        # retired slots idle ~chunk extra steps and one all-dead trailing
+        # chunk runs per burst). Opt-in; host bookkeeping is identical —
+        # it just observes each chunk's emissions one chunk later.
+        self.overlap_fetch = overlap_fetch
         self.kv_quant = bool(getattr(llama, "kv_quant", False))
         self._cache_dtype = self.params["norm"].dtype  # bf16 on TPU, f32 CPU
         self._rope = precompute_rope(self.config)
@@ -418,7 +428,40 @@ class ContinuousBatcher:
         stats = ServeStats()
         step_idx = 0
 
-        while pending or slots:
+        def process(emits_h: np.ndarray, end_step: int) -> None:
+            """Retire finished slots from one chunk's emissions (host
+            mirrors the device liveness rule: a slot emits until eos or
+            budget)."""
+            if collect_stats:
+                stats.decode_steps += self.chunk
+                stats.slot_steps_live += int((emits_h != PAD_EMIT).sum())
+                stats.slot_steps_total += self.chunk * S
+            for s in list(slots):
+                st = slots[s]
+                new = [int(t) for t in emits_h[:, s] if t != PAD_EMIT]
+                st.toks.extend(new)
+                st.remaining -= len(new)
+                if self._eos_id in new or st.remaining <= 0:
+                    slots.pop(s)
+                    toks = st.toks
+                    if self._eos_id in toks:
+                        toks = toks[: toks.index(self._eos_id) + 1]
+                    now = time.perf_counter()
+                    done.append(
+                        Completion(
+                            uid=st.req.uid,
+                            tokens=toks,
+                            prompt_len=len(st.req.prompt),
+                            admitted_step=st.admit_step,
+                            finished_step=end_step,
+                            wall_latency_s=now - st.admit_wall,
+                            finished_wall_s=now - t0,
+                        )
+                    )
+
+        inflight = None  # (emits device array, end step) awaiting its fetch
+
+        while pending or slots or inflight is not None:
             # ---- admit into free slots (cache rows scatter in place; the
             # decode batch stalls only for the admitted suffix prefills)
             if pending:
@@ -451,44 +494,26 @@ class ContinuousBatcher:
                         jnp.asarray(adm_rem), jnp.asarray(adm_mask),
                     )
 
-            # ---- one jitted chunk of lockstep decode (cache donated)
-            tok, pos, live, remaining, cache, self._key, emits = _decode_chunk(
-                self.params, self._rope, cache, tok, pos, live, remaining,
-                self._key, config=cfg, chunk=self.chunk,
-                temperature=temperature, top_p=top_p,
-                eos_id=self._eos_id,
-            )
-            emits_h = np.asarray(emits)  # (chunk, S) — the ONE blocking fetch
-            if collect_stats:
-                stats.decode_steps += self.chunk
-                stats.slot_steps_live += int((emits_h != PAD_EMIT).sum())
-                stats.slot_steps_total += self.chunk * S
-            step_idx += self.chunk
+            # ---- one jitted chunk of lockstep decode (cache donated);
+            # skipped when only the trailing in-flight fetch remains
+            emits = None
+            if pending or slots:
+                tok, pos, live, remaining, cache, self._key, emits = _decode_chunk(
+                    self.params, self._rope, cache, tok, pos, live, remaining,
+                    self._key, config=cfg, chunk=self.chunk,
+                    temperature=temperature, top_p=top_p,
+                    eos_id=self._eos_id,
+                )
+                step_idx += self.chunk
 
-            # ---- collect emissions; retire finished slots (host mirrors
-            # the device liveness rule: a slot emits until eos or budget)
-            for s in list(slots):
-                st = slots[s]
-                new = [int(t) for t in emits_h[:, s] if t != PAD_EMIT]
-                st.toks.extend(new)
-                st.remaining -= len(new)
-                if self._eos_id in new or st.remaining <= 0:
-                    slots.pop(s)
-                    toks = st.toks
-                    if self._eos_id in toks:
-                        toks = toks[: toks.index(self._eos_id) + 1]
-                    now = time.perf_counter()
-                    done.append(
-                        Completion(
-                            uid=st.req.uid,
-                            tokens=toks,
-                            prompt_len=len(st.req.prompt),
-                            admitted_step=st.admit_step,
-                            finished_step=step_idx,
-                            wall_latency_s=now - st.admit_wall,
-                            finished_wall_s=now - t0,
-                        )
-                    )
+            if not self.overlap_fetch:
+                if emits is not None:
+                    process(np.asarray(emits), step_idx)  # the ONE fetch
+            else:
+                # pipeline: fetch chunk N-1 while chunk N executes
+                if inflight is not None:
+                    process(np.asarray(inflight[0]), inflight[1])
+                inflight = (emits, step_idx) if emits is not None else None
         stats.wall_s = time.perf_counter() - t0
         self._cache = cache  # reuse the rows (and their buffers) next call
         return done, stats

@@ -447,8 +447,12 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
     work, contexts = make(tiny, n_reqs)
     gen_total = 0
     if mode == "cb":
-        cb = ContinuousBatcher(llama, slots=slots, chunk=4 if tiny else 8,
-                               temperature=0.0)
+        cb = ContinuousBatcher(
+            llama, slots=slots,
+            chunk=4 if tiny else int(os.environ.get("PREGO_CB_CHUNK", "8")),
+            temperature=0.0,
+            overlap_fetch=os.environ.get("PREGO_CB_OVERLAP", "0") == "1",
+        )
         t_reg = time.perf_counter()
         for c in contexts:
             cb.register_prefix(c)

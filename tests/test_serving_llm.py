@@ -239,6 +239,31 @@ def test_serve_prompts_order_and_greedy_parity(llama_long):
     assert got == want
 
 
+def test_overlap_fetch_matches_blocking(llama):
+    """overlap_fetch pipelines the emits fetch behind the next chunk; the
+    outputs (greedy) must be identical to the blocking loop for every
+    request, across admission waves and slot reuse."""
+    rng = np.random.default_rng(41)
+    reqs = [
+        Request(
+            uid=i,
+            prompt=rng.integers(4, 250, rng.integers(1, 40)).tolist(),
+            max_gen_len=int(rng.integers(1, 16)),
+        )
+        for i in range(10)
+    ]
+    blocking = ContinuousBatcher(llama, slots=3, chunk=4, temperature=0.0)
+    a, stats_a = blocking.serve([Request(**vars(r)) for r in reqs])
+    overlap = ContinuousBatcher(
+        llama, slots=3, chunk=4, temperature=0.0, overlap_fetch=True
+    )
+    b, stats_b = overlap.serve([Request(**vars(r)) for r in reqs])
+    assert {c.uid: c.tokens for c in a} == {c.uid: c.tokens for c in b}
+    # every slot-step of live work is identical; overlap may add trailing
+    # all-dead chunks but never loses emissions
+    assert stats_a.slot_steps_live == stats_b.slot_steps_live
+
+
 def test_prefix_sharing_with_kv_quant_batched_admission():
     """The 7B serving config's exact combination: int8 KV cache + prefix
     sharing + multi-slot batched admission; parity vs its own B=1 CB
