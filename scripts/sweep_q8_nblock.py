@@ -101,7 +101,11 @@ def main():
 
         # compile all first (off the clock)
         for nb, (fn, _) in runners.items():
+            t_c = time.perf_counter()
+            print(f"# compiling {proj} n_block={nb}", file=sys.stderr, flush=True)
             float(fn(x, q, s))
+            print(f"# compiled {proj} n_block={nb} in "
+                  f"{time.perf_counter() - t_c:.0f}s", file=sys.stderr, flush=True)
         times = {nb: [] for nb in runners}
         for _ in range(args.rounds):
             for nb, (fn, _) in runners.items():
