@@ -48,7 +48,7 @@ def main():
     p.add_argument("--shape", default="7b", choices=sorted(SHAPES))
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--nblocks", type=int, nargs="*", default=[256, 512, 1024, 2048])
-    p.add_argument("--chain", type=int, default=16, help="in-jit calls per timing")
+    p.add_argument("--chain", type=int, default=512, help="in-jit calls per timing")
     p.add_argument("--rounds", type=int, default=5)
     p.add_argument("--tiny", action="store_true", help="CPU smoke")
     args = p.parse_args()
@@ -58,7 +58,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         args.shape = "tiny"
         args.nblocks = [128, 256]
-        args.chain, args.rounds = 2, 2
+        args.chain, args.rounds = 2, 2  # tiny keeps the smoke cheap
 
     import jax
     import jax.numpy as jnp
