@@ -10,7 +10,7 @@ set -u
 cd "$(dirname "$0")/.."
 
 echo "waiting for chipq_r4a QUEUE_DONE"
-until grep -q QUEUE_DONE /tmp/chipq_r4a.log 2>/dev/null; do sleep 60; done
+until grep -qx QUEUE_DONE /tmp/chipq_r4a.log 2>/dev/null; do sleep 60; done
 echo "r4a done; starting r4b"
 
 wait_for_tunnel() {

@@ -10,7 +10,7 @@ set -u
 cd "$(dirname "$0")/.."
 
 echo "waiting for chipq_r4b QUEUE_DONE"
-until grep -q QUEUE_DONE /tmp/chipq_r4b.log 2>/dev/null; do sleep 60; done
+until grep -qx QUEUE_DONE /tmp/chipq_r4b.log 2>/dev/null; do sleep 60; done
 echo "r4b done; starting r4c"
 
 wait_for_tunnel() {
