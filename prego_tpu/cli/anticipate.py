@@ -199,6 +199,13 @@ def main(argv: Optional[List[str]] = None):
         checkpoint_every=args.checkpoint_every,
     )
 
+    if hasattr(llm, "llama"):
+        # prefix-cache observability: a healthy run rebuilds ~once per
+        # toy context, not per video/step (VERDICT r2 #5 / r3 #1)
+        logger.info(
+            f"prefix cache: rebuilds={llm.llama.prefix_rebuilds} "
+            f"extends={llm.llama.prefix_extends}"
+        )
     if result.metrics is not None:
         m = result.metrics
         print(
