@@ -91,7 +91,12 @@ def int8_matmul(
 
     ``n_block`` default 512; PREGO_Q8_NBLOCK overrides (the tile sweep
     lever — scripts/sweep_q8_nblock.py; _fit_blocks still clamps to the
-    scoped-VMEM budget, so oversized requests degrade gracefully)."""
+    scoped-VMEM budget, so oversized requests degrade gracefully).
+    MEASURED (r4 e2e A/B/A at the 7B b8 serving shape): controls
+    12.29/12.20 ms/step, 256 -> 12.08 (-1.7%, ~the control spread),
+    1024 -> 15.0 (+22% regression) — 512 stays the default; op-level
+    sweeps read <=3% tile sensitivity at b1 (VERDICT r3 #3 closed as a
+    negative result)."""
     if n_block is None:
         import os
 
