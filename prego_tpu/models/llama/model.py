@@ -293,11 +293,28 @@ def mark_xla_dense(params: Params) -> Params:
     return walk(params)
 
 
+def _q8_dense_backend() -> str:
+    """Backend for int8 dense projections on TPU: "pallas" (default, the
+    dequantizing Pallas matmul) or "xla" (the dequant-fused jnp.dot the
+    tensor-parallel path uses).  PREGO_Q8_DENSE=xla forces the XLA path
+    single-chip — the untried lever against the b8 matmul-core gap
+    (RESULTS.md pins ~1.24 ms/step of per-pallas-call launch overhead at
+    7B b8; one XLA module has no such per-op launches, but XLA may
+    instead hoist the int8->bf16 convert out of the decode while_loop
+    and materialize bf16 weights, which at 7B would not fit the chip).
+    Measured on chip before any default change, per the gate table in
+    CLAUDE.md."""
+    import os
+
+    return "xla" if os.environ.get("PREGO_Q8_DENSE") == "xla" else "pallas"
+
+
 def _dense(x: jax.Array, leaf) -> jax.Array:
     """Dense projection dispatch: plain arrays use jnp.dot; int8-quantized
     {"q","s"} leaves stream through the dequantizing Pallas matmul on TPU
-    (XLA dequant fallback elsewhere, and whenever the leaf carries the
-    "xla" marker — tensor-parallel serving, see mark_xla_dense).
+    (XLA dequant fallback elsewhere, whenever the leaf carries the
+    "xla" marker — tensor-parallel serving, see mark_xla_dense — and
+    under PREGO_Q8_DENSE=xla, see _q8_dense_backend).
     Returns f32."""
     if isinstance(leaf, dict) and "q" in leaf:
         from prego_tpu.ops.quant import (
@@ -310,7 +327,11 @@ def _dense(x: jax.Array, leaf) -> jax.Array:
 
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        on_tpu = jax.default_backend() == "tpu" and "xla" not in leaf
+        on_tpu = (
+            jax.default_backend() == "tpu"
+            and "xla" not in leaf
+            and _q8_dense_backend() != "xla"
+        )
         if "act" in leaf:  # int8 x int8 -> int32 MXU path
             xq, xs = quantize_activations(x2)
             if on_tpu:

@@ -79,3 +79,37 @@ def test_weight_only_int8_acceptance(logit_sets):
 def test_int8xint8_activation_quant_acceptance(logit_sets):
     bf16, _, w8a8 = logit_sets
     _check(bf16, w8a8, rms_budget=0.12)
+
+
+def test_q8_dense_backend_env_gate(monkeypatch):
+    """PREGO_Q8_DENSE=xla routes int8 projections through the XLA
+    dequant-fused jnp.dot (the TP path's matmul) even single-chip; any
+    other value keeps the Pallas default. Numerics are identical up to
+    dot-accumulation order — on CPU both routes already share
+    int8_matmul_reference, so assert the gate itself plus a forward
+    under each setting agreeing bit-for-bit (same route on CPU)."""
+    from prego_tpu.models.llama.model import _q8_dense_backend
+
+    monkeypatch.delenv("PREGO_Q8_DENSE", raising=False)
+    assert _q8_dense_backend() == "pallas"
+    monkeypatch.setenv("PREGO_Q8_DENSE", "bogus")
+    assert _q8_dense_backend() == "pallas"
+    monkeypatch.setenv("PREGO_Q8_DENSE", "xla")
+    assert _q8_dense_backend() == "xla"
+
+    cfg = LlamaConfig(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=4, vocab_size=128,
+        multiple_of=16, norm_eps=1e-5, max_batch_size=1, max_seq_len=32,
+    )
+    params = quantize_params(init_params(cfg, jax.random.PRNGKey(1)))
+    toks = jnp.asarray([[5, 9, 21, 3]], dtype=jnp.int32)
+
+    def run():
+        out, _ = forward(
+            params, toks, jnp.int32(0), init_cache(cfg, 1), cfg
+        )
+        return np.asarray(out)
+
+    xla_out = run()
+    monkeypatch.delenv("PREGO_Q8_DENSE")
+    np.testing.assert_array_equal(xla_out, run())
