@@ -1,0 +1,362 @@
+"""Speculative decoding — draft-proposed, target-verified generation.
+
+Beyond-reference capability (the reference decodes strictly one token per
+target forward, llama/generation.py:162-215): a cheap draft model proposes
+``k`` tokens, the target verifies all of them in ONE multi-token forward,
+and the accepted prefix advances the sequence — so the per-token cost of
+the weight-streaming-bound target drops toward 1/k weight passes at high
+acceptance. Autoregressive decode on a v5e is HBM-bound (RESULTS.md: 7B
+int8 b1 sits at ~77-78% of the 8.07 ms weight-streaming floor); this is
+the one serving lever that beats the floor itself instead of approaching
+it.
+
+TPU-first design decisions:
+
+* **No rollback op.** The decoder masks attention strictly by absolute
+  position (model.py::_attention — queries at position q attend keys at
+  k_pos <= q), and every speculative round rewrites the cache window
+  [pos, pos+k) before any query can attend it. Rejected-draft KV entries
+  beyond the accepted prefix are therefore unreachable garbage that the
+  next round overwrites: cache "rollback" is just not advancing ``pos``.
+* **One jitted while_loop.** Draft steps (a lax.scan of k single-token
+  decodes, which use the fast S=1 decode kernels), the (1, k) target
+  verify forward, acceptance, and the output scatter all live inside a
+  single jit — zero host round-trips per round, same structure as
+  generation.py::_generate_body.
+* **Static shapes.** k, buffer lengths and both configs are static;
+  acceptance only moves traced scalars (pos, n_emitted).
+
+Sampling correctness: greedy verification accepts a draft token iff it
+equals the target argmax, so greedy speculative output is IDENTICAL to
+plain greedy decoding for ANY draft (the draft only affects speed — this
+is the hermetic test invariant). Temperature>0 uses the
+Leviathan/Chen-style rejection rule — accept x ~ q with probability
+min(1, p(x)/q(x)), on rejection resample from norm(max(p-q, 0)) — applied
+to the PROCESSED distributions (temperature + the reference's nucleus
+truncation, ops/sampling.py::processed_probs), which provably preserves
+the target's sampling distribution.
+
+Acceptance on fabricated (random) weights is ~0 by construction, so the
+on-chip bench brackets real deployments between two measured endpoints:
+an "oracle" draft (replays the target's own greedy continuation —
+acceptance 1, the ceiling) and a real small-model draft (acceptance ~0
+with random weights, the overhead floor). See scripts/bench_llm.py
+--case spec_decode_7b_*.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prego_tpu.models.llama.config import LlamaConfig
+from prego_tpu.models.llama.model import (
+    Params,
+    forward,
+    init_cache,
+    precompute_rope,
+)
+from prego_tpu.ops.sampling import processed_probs
+
+
+def _draft_scan(
+    draft_params: Params,
+    cur_tok: jax.Array,  # scalar int32 — token at ``pos``, not yet fed
+    pos: jax.Array,  # scalar int32
+    d_cache,
+    d_rope,
+    key: jax.Array,
+    d_cfg: LlamaConfig,
+    k: int,
+    temperature: float,
+    top_p: float,
+) -> Tuple[jax.Array, jax.Array, object]:
+    """k single-token draft decodes. Feeds cur_tok at pos, then each
+    proposal at its own position; returns (drafts (k,), q_dists (k, V),
+    updated draft cache). drafts[i] is the proposal for position
+    pos+i+1; q_dists[i] is the processed distribution it was drawn from
+    (one-hot-free greedy mode returns zeros — unused)."""
+
+    def step(carry, i):
+        tok, cache, ky = carry
+        logits, cache = forward(
+            draft_params, tok[None, None], pos + i, cache, d_cfg, d_rope
+        )
+        l = logits[0, 0]
+        if temperature > 0:
+            ky, sub = jax.random.split(ky)
+            q = processed_probs(l[None], temperature, top_p)[0]
+            nxt = jax.random.categorical(sub, jnp.log(q)).astype(jnp.int32)
+        else:
+            q = jnp.zeros_like(l)
+            nxt = jnp.argmax(l).astype(jnp.int32)
+        return (nxt, cache, ky), (nxt, q)
+
+    (_, d_cache, _), (drafts, q_dists) = jax.lax.scan(
+        step, (cur_tok, d_cache, key), jnp.arange(k, dtype=jnp.int32)
+    )
+    return drafts, q_dists, d_cache
+
+
+def _spec_generate_body(
+    target_params: Params,
+    draft_params: Optional[Params],
+    prompt: jax.Array,  # (1, Pbuf) int32, pad-filled
+    prompt_len: jax.Array,  # scalar int32 >= 1
+    out_budget: jax.Array,  # scalar int32 <= out_buf_len - k
+    key: jax.Array,
+    oracle: Optional[jax.Array],  # (L,) int32 absolute-position token replay
+    config: LlamaConfig,
+    draft_config: Optional[LlamaConfig],
+    k: int,
+    out_buf_len: int,
+    temperature: float,
+    top_p: float,
+    eos_id: int,
+    kv_quant: bool,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (out_buf (out_buf_len,), n_emitted, rounds, accepted)."""
+    t_rope = precompute_rope(config)
+    t_cache = init_cache(
+        config, 1, dtype=target_params["norm"].dtype, quantized=kv_quant
+    )
+    # cache-only prefill of both models (logits unneeded: the first
+    # verify re-feeds the last prompt token). Padded-tail garbage beyond
+    # prompt_len is overwritten by the first rounds before any query can
+    # attend it (see module docstring).
+    _, t_cache = forward(target_params, prompt, jnp.int32(0), t_cache, config, t_rope)
+    if oracle is None:
+        d_rope = precompute_rope(draft_config)
+        d_cache = init_cache(draft_config, 1, dtype=draft_params["norm"].dtype)
+        _, d_cache = forward(
+            draft_params, prompt, jnp.int32(0), d_cache, draft_config, d_rope
+        )
+    else:
+        d_rope = None
+        d_cache = jnp.zeros((), jnp.int32)  # dummy carry leaf
+
+    pos0 = prompt_len - 1
+    cur0 = prompt[0, pos0]
+    out_buf = jnp.zeros((out_buf_len,), jnp.int32)
+    arange_k = jnp.arange(k, dtype=jnp.int32)
+
+    def cond(state):
+        pos, _, _, _, _, n_emitted, done, _, _, _ = state
+        return (
+            ~done
+            & (n_emitted < out_budget)
+            & (pos + k <= config.max_seq_len)
+        )
+
+    def body(state):
+        (pos, cur_tok, t_cache, d_cache, out_buf, n_emitted, done, key,
+         rounds, accepted) = state
+        key, dkey, vkey, ckey = jax.random.split(key, 4)
+
+        # ---- draft phase: k proposals for positions pos+1 .. pos+k ----
+        if oracle is not None:
+            drafts = jax.lax.dynamic_slice(oracle, (pos + 1,), (k,))
+            q_dists = None
+        else:
+            drafts, q_dists, d_cache = _draft_scan(
+                draft_params, cur_tok, pos, d_cache, d_rope, dkey,
+                draft_config, k, temperature, top_p,
+            )
+
+        # ---- verify: ONE (1, k) target forward at pos ----
+        fed = jnp.concatenate([cur_tok[None], drafts[:-1]])[None]  # (1, k)
+        t_logits, t_cache = forward(
+            target_params, fed, pos, t_cache, config, t_rope
+        )
+        L = t_logits[0]  # (k, V); L[i] is the target dist for pos+i+1
+
+        # ---- acceptance ----
+        if temperature > 0:
+            p_dists = processed_probs(L, temperature, top_p)  # (k, V)
+            pd = p_dists[arange_k, drafts]
+            qd = q_dists[arange_k, drafts]
+            u = jax.random.uniform(vkey, (k,))
+            acc = u * qd <= pd  # accept w.p. min(1, p/q), div-free form
+            a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32)))
+            ra = jnp.minimum(a, k - 1)
+            resid = jnp.maximum(p_dists[ra] - q_dists[ra], 0.0)
+            rs = jnp.sum(resid)
+            resid = jnp.where(rs > 1e-9, resid / rs, p_dists[ra])
+            corr = jax.random.categorical(ckey, jnp.log(resid)).astype(jnp.int32)
+        else:
+            t_hat = jnp.argmax(L, axis=-1).astype(jnp.int32)  # (k,)
+            match = drafts == t_hat
+            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+            corr = t_hat[jnp.minimum(a, k - 1)]
+
+        n_new = jnp.where(a == k, k, a + 1)
+        emit = jnp.where(arange_k < a, drafts, corr)  # (k,)
+
+        # eos inside the round: truncate to include the first eos
+        hit = (emit == eos_id) & (arange_k < n_new)
+        eos_at = jnp.min(jnp.where(hit, arange_k, k))
+        got_eos = eos_at < k
+        n_new = jnp.where(got_eos, eos_at + 1, n_new)
+
+        out_buf = jax.lax.dynamic_update_slice(out_buf, emit, (n_emitted,))
+        cur_tok = emit[n_new - 1]
+        return (
+            pos + n_new, cur_tok, t_cache, d_cache, out_buf,
+            n_emitted + n_new, done | got_eos, key,
+            rounds + 1, accepted + a,
+        )
+
+    state = (
+        pos0, cur0, t_cache, d_cache, out_buf,
+        jnp.int32(0), jnp.bool_(False), key, jnp.int32(0), jnp.int32(0),
+    )
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, _, out_buf, n_emitted, _, _, rounds, accepted = state
+    return out_buf, n_emitted, rounds, accepted
+
+
+_SPEC_STATICS = (
+    "config", "draft_config", "k", "out_buf_len", "temperature", "top_p",
+    "eos_id", "kv_quant",
+)
+
+_spec_generate_jit = functools.partial(
+    jax.jit, static_argnames=_SPEC_STATICS
+)(_spec_generate_body)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class SpeculativeLlama:
+    """Speculative wrapper around a target :class:`Llama`.
+
+    ``draft_params``/``draft_config`` select the proposal model (same
+    vocab; typically the 1B-class shape drafting for 7B/13B). Passing
+    ``oracle_tokens`` to generate() instead replays a known continuation
+    as the draft (zero draft cost — the acceptance=1 measurement
+    harness). Single-stream (B=1): speculation is a latency lever; batch
+    throughput is already served by the batched/CB paths."""
+
+    def __init__(
+        self,
+        target,  # Llama (generation.py) — params/config/tokenizer/kv_quant
+        draft_params: Optional[Params] = None,
+        draft_config: Optional[LlamaConfig] = None,
+        k: int = 4,
+        pad_to_multiple: int = 64,
+    ):
+        if draft_config is not None:
+            assert draft_config.vocab_size == target.config.vocab_size, (
+                "draft and target must share a vocabulary"
+            )
+            assert draft_config.max_seq_len >= target.config.max_seq_len, (
+                "draft cache must cover the target sequence length"
+            )
+        self.target = target
+        self.draft_params = draft_params
+        self.draft_config = draft_config
+        self.k = int(k)
+        self.pad_to_multiple = pad_to_multiple
+        self._key = jax.random.PRNGKey(1)
+        # observability (host-mirrored after each generate)
+        self.rounds = 0
+        self.drafts_accepted = 0
+
+    def generate(
+        self,
+        prompt_tokens: List[List[int]],
+        max_gen_len: int,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        oracle_tokens: Optional[List[int]] = None,
+    ) -> List[List[int]]:
+        """Generated (non-echo) tokens per prompt; B=1 per dispatch —
+        longer lists run serially. ``oracle_tokens`` (absolute-position
+        replay, prompt included) requires temperature=0 and no draft."""
+        cfg = self.target.config
+        tok = self.target.tokenizer
+        if oracle_tokens is None:
+            assert self.draft_params is not None, (
+                "SpeculativeLlama needs draft_params or oracle_tokens"
+            )
+        else:
+            assert temperature == 0.0, "oracle replay is greedy-only"
+        if len(prompt_tokens) > 1:
+            out: List[List[int]] = []
+            for t in prompt_tokens:
+                out.extend(
+                    self.generate([t], max_gen_len, temperature, top_p,
+                                  oracle_tokens)
+                )
+            return out
+
+        (prompt,) = prompt_tokens
+        assert 1 <= len(prompt) <= cfg.max_seq_len
+        max_gen_len = min(max_gen_len, cfg.max_seq_len - len(prompt))
+        p_buf = min(
+            _round_up(len(prompt), self.pad_to_multiple), cfg.max_seq_len
+        )
+        buf = np.full((1, p_buf), tok.pad_id, np.int32)
+        buf[0, : len(prompt)] = np.asarray(prompt, np.int32)
+        out_buf_len = _round_up(max_gen_len + self.k, self.pad_to_multiple)
+
+        if oracle_tokens is not None:
+            o = np.full(
+                (cfg.max_seq_len + self.k,), tok.pad_id, np.int32
+            )
+            o[: len(oracle_tokens)] = np.asarray(oracle_tokens, np.int32)
+            oracle = jnp.asarray(o)
+        else:
+            oracle = None
+
+        self._key, key = jax.random.split(self._key)
+        out, n, rounds, accepted = _spec_generate_jit(
+            self.target.params,
+            self.draft_params if oracle is None else None,
+            jnp.asarray(buf),
+            jnp.int32(len(prompt)),
+            jnp.int32(max_gen_len),
+            key,
+            oracle,
+            config=cfg,
+            draft_config=self.draft_config if oracle is None else None,
+            k=self.k,
+            out_buf_len=out_buf_len,
+            temperature=float(temperature),
+            top_p=float(top_p),
+            eos_id=int(tok.eos_id),
+            kv_quant=self.target.kv_quant,
+        )
+        out, n, rounds, accepted = jax.device_get((out, n, rounds, accepted))
+        self.rounds += int(rounds)
+        self.drafts_accepted += int(accepted)
+        toks = out.tolist()[: min(int(n), max_gen_len)]
+        # host cut identical to Llama.generate: pad first, then eos
+        if tok.pad_id in toks:
+            toks = toks[: toks.index(tok.pad_id)]
+        if tok.eos_id in toks:
+            toks = toks[: toks.index(tok.eos_id)]
+        return [toks]
+
+    def text_completion(
+        self,
+        prompts: List[str],
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+        max_gen_len: Optional[int] = None,
+    ) -> List[dict]:
+        if max_gen_len is None:
+            max_gen_len = self.target.config.max_seq_len - 1
+        tok = self.target.tokenizer
+        prompt_tokens = [tok.encode(x, bos=True, eos=False) for x in prompts]
+        gens = self.generate(
+            prompt_tokens, max_gen_len=max_gen_len,
+            temperature=temperature, top_p=top_p,
+        )
+        return [{"generation": tok.decode(g)} for g in gens]

@@ -25,6 +25,33 @@ def sample_top_p(probs: jax.Array, p: float, key: jax.Array) -> jax.Array:
     return jnp.take_along_axis(probs_idx, sampled[:, None], axis=-1)[:, 0]
 
 
+def processed_probs(
+    logits: jax.Array,  # (B, V) f32
+    temperature: float,
+    top_p: float,
+) -> jax.Array:
+    """The EXACT distribution sample_next_token draws from at
+    temperature>0: softmax at temperature, then the reference's
+    exclusive-prefix nucleus truncation, renormalized and scattered back
+    to vocab order. Speculative decoding's rejection step needs this
+    vector for both models — the Leviathan/Chen accept rule
+    min(1, p(x)/q(x)) with residual norm(max(p-q, 0)) preserves the
+    target distribution only when p and q are the actual sampling
+    distributions, nucleus truncation included."""
+    probs = jax.nn.softmax(logits / jnp.maximum(temperature, 1e-9), axis=-1)
+    V = probs.shape[-1]
+    probs_sort, probs_idx = jax.lax.top_k(probs, V)
+    cumsum = jnp.cumsum(probs_sort, axis=-1)
+    keep = ~(cumsum - probs_sort > top_p)
+    probs_sort = jnp.where(keep, probs_sort, 0.0)
+    probs_sort = probs_sort / jnp.sum(probs_sort, axis=-1, keepdims=True)
+    # scatter the sorted values back to vocab coordinates
+    out = jnp.zeros_like(probs)
+    return jax.vmap(lambda o, idx, val: o.at[idx].set(val))(
+        out, probs_idx, probs_sort
+    )
+
+
 def sample_next_token(
     logits: jax.Array,  # (B, V) f32
     key: jax.Array,

@@ -521,8 +521,105 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
     return row
 
 
+def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
+                      shape: str = "7b", gen_len: int = 128):
+    """Speculative decoding at batch 1 (models/llama/speculative.py),
+    bracketed between its two measurable endpoints on fabricated
+    weights: draft="oracle" replays the target's own greedy continuation
+    (acceptance 1 — the ceiling: one k-token verify forward per k
+    tokens), draft="1b" runs a real 1B-class bf16 draft (acceptance ~0
+    on random weights — the overhead floor: every round pays k draft
+    steps + one verify for ~1 emitted token).  A real trained pair lands
+    between the endpoints at its measured acceptance rate.  The plain
+    greedy baseline is measured in the SAME process/window."""
+    case = f"spec_decode_{shape}_" + (
+        draft if draft == "oracle" else f"draft{draft}"
+    ) + f"_k{k}"
+    if tiny:
+        from prego_tpu.models.llama.speculative import SpeculativeLlama
+
+        llama, cfg = _llama(True, "none")
+        gen_len = 16
+        k = 2
+        prompt = [5, 9, 21, 3]
+        want, _ = llama.generate([list(prompt)], max_gen_len=gen_len,
+                                 temperature=0.0)
+        spec = SpeculativeLlama(llama, k=k)
+        got = spec.generate([list(prompt)], max_gen_len=gen_len,
+                            temperature=0.0,
+                            oracle_tokens=list(prompt) + want[0])
+        assert got == want
+        return {"case": case, "smoke": "ok", "tokens": len(got[0])}
+
+    import jax
+
+    from prego_tpu.models.llama import LlamaConfig, init_params
+    from prego_tpu.models.llama.speculative import SpeculativeLlama
+
+    llama, cfg = _llama_ref(shape, kv_quant=True, max_batch=1, max_seq=256)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(4, 31999, 8).tolist()
+
+    # plain greedy baseline, same window
+    want, _ = llama.generate([list(prompt)], max_gen_len=gen_len,
+                             temperature=0.0)  # compile
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out, _ = llama.generate([list(prompt)], max_gen_len=gen_len,
+                                temperature=0.0)
+    base_dt = (time.perf_counter() - t0) / reps
+    n_base = max(len(out[0]), 1)
+
+    if draft == "oracle":
+        spec = SpeculativeLlama(llama, k=k)
+        kw = {"oracle_tokens": list(prompt) + want[0]}
+    else:  # 1B-class bf16 draft (same vocab, fabricated weights)
+        import jax.numpy as jnp
+
+        d_cfg = LlamaConfig(
+            dim=2048, n_layers=16, n_heads=16, n_kv_heads=16,
+            vocab_size=cfg.vocab_size, multiple_of=256, norm_eps=1e-5,
+            max_batch_size=1, max_seq_len=cfg.max_seq_len,
+        )
+        d_params = init_params(d_cfg, jax.random.PRNGKey(3),
+                               dtype=jnp.bfloat16)
+        spec = SpeculativeLlama(llama, d_params, d_cfg, k=k)
+        kw = {}
+
+    got = spec.generate([list(prompt)], max_gen_len=gen_len,
+                        temperature=0.0, **kw)  # compile
+    if draft == "oracle":
+        assert got == want, "oracle spec diverged from plain greedy"
+    spec.rounds = spec.drafts_accepted = 0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out_s = spec.generate([list(prompt)], max_gen_len=gen_len,
+                              temperature=0.0, **kw)
+    spec_dt = (time.perf_counter() - t0) / reps
+    n_spec = max(len(out_s[0]), 1)
+    rounds = spec.rounds / reps
+    acc = spec.drafts_accepted / max(spec.rounds * k, 1)
+    return {
+        "case": case,
+        "value": round(n_spec / spec_dt, 1),
+        "unit": "tok/s (b1 greedy)",
+        "ms_per_token": round(spec_dt / n_spec * 1e3, 2),
+        "baseline_tok_s": round(n_base / base_dt, 1),
+        "baseline_ms_per_token": round(base_dt / n_base * 1e3, 2),
+        "speedup_vs_plain": round((n_spec / spec_dt) / (n_base / base_dt), 2),
+        "acceptance_rate": round(acc, 3),
+        "rounds": rounds,
+        "k": k,
+    }
+
+
 CASES = {
     "decode_b1": lambda tiny: bench_decode(1, tiny),
+    "spec_decode_7b_oracle_k8": lambda tiny: bench_spec_decode(tiny, k=8),
+    "spec_decode_7b_oracle_k4": lambda tiny: bench_spec_decode(tiny, k=4),
+    "spec_decode_7b_draft1b_k4": lambda tiny: bench_spec_decode(
+        tiny, k=4, draft="1b"),
     "decode_b8": lambda tiny: bench_decode(8, tiny),
     "decode_b8_int8": lambda tiny: bench_decode(8, tiny, "int8"),
     "decode_b8_int8x8": lambda tiny: bench_decode(8, tiny, "int8x8"),

@@ -39,6 +39,15 @@ def test_bench_llm_tiny_skip_cases_keep_names():
     assert row == {"case": "decode_13b_b1_int8", "skipped": "tiny"}
 
 
+def test_bench_llm_tiny_spec_decode_smoke():
+    """The speculative-decoding bench's --tiny leg actually EXERCISES the
+    oracle spec loop (greedy-equality asserted inside the case)."""
+    (row,) = _run(
+        ["scripts/bench_llm.py", "--case", "spec_decode_7b_oracle_k8", "--tiny"]
+    )
+    assert row["case"] == "spec_decode_7b_oracle_k8" and row["smoke"] == "ok"
+
+
 def test_bench_train_tiny_both_backends():
     rows = _run(["scripts/bench_train.py", "--tiny", "--reps", "1"])
     cases = {r["case"] for r in rows}

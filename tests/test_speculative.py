@@ -1,0 +1,192 @@
+"""Speculative decoding invariants (models/llama/speculative.py).
+
+The load-bearing hermetic property: greedy speculative output is
+IDENTICAL to plain greedy decoding for ANY draft model — the draft only
+decides how fast, never what. Sampled mode must preserve the target's
+processed sampling distribution (Leviathan/Chen rejection rule), pinned
+distribution-level like tests/test_serving_llm.py's CB sampled parity.
+"""
+
+import collections
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prego_tpu.models.llama import LlamaConfig, init_params
+from prego_tpu.models.llama.generation import Llama
+from prego_tpu.models.llama.model import quantize_params
+from prego_tpu.models.llama.speculative import SpeculativeLlama
+from prego_tpu.models.llama.tokenizer import ByteTokenizer
+from prego_tpu.ops.sampling import processed_probs, sample_next_token
+
+
+def _cfg(**kw):
+    base = dict(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=4, vocab_size=258,
+        multiple_of=32, norm_eps=1e-5, max_batch_size=4, max_seq_len=128,
+    )
+    base.update(kw)
+    return LlamaConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def target():
+    cfg = _cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return Llama(params, ByteTokenizer(), cfg)
+
+
+@pytest.fixture(scope="module")
+def draft():
+    """A DIFFERENT random model (same vocab) — near-zero agreement with
+    the target, so the rejection path is exercised hard."""
+    cfg = _cfg(dim=32, n_layers=1, n_heads=2, n_kv_heads=2)
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    return params, cfg
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 7])
+def test_greedy_equals_plain_for_any_draft(target, draft, k):
+    d_params, d_cfg = draft
+    spec = SpeculativeLlama(target, d_params, d_cfg, k=k)
+    for prompt in ([5, 9, 21, 3], [7], list(range(4, 40))):
+        want, _ = target.generate([list(prompt)], max_gen_len=24,
+                                  temperature=0.0)
+        got = spec.generate([list(prompt)], max_gen_len=24, temperature=0.0)
+        assert got == want, (k, prompt[:4])
+
+
+def test_greedy_oracle_replay_full_acceptance(target):
+    """Replaying the target's own greedy continuation as the draft must
+    accept everything: same tokens, ~gen/k rounds, acceptance == 1."""
+    prompt = [5, 9, 21, 3]
+    gen = 24
+    want, _ = target.generate([list(prompt)], max_gen_len=gen, temperature=0.0)
+    oracle = list(prompt) + want[0]
+    spec = SpeculativeLlama(target, k=4)
+    got = spec.generate([list(prompt)], max_gen_len=gen, temperature=0.0,
+                        oracle_tokens=oracle)
+    assert got == want
+    assert spec.rounds <= -(-gen // 4) + 1  # ceil(gen/k) (+1 eos slack)
+    assert spec.drafts_accepted >= spec.rounds * 4 - 4
+
+
+def test_greedy_with_quantized_kv_target(target, draft):
+    """kv_quant target: spec greedy equals plain greedy on the SAME
+    quantized-cache path (both run the int8-KV cache)."""
+    cfg = target.config
+    q_target = Llama(target.params, ByteTokenizer(), cfg, kv_quant=True)
+    d_params, d_cfg = draft
+    spec = SpeculativeLlama(q_target, d_params, d_cfg, k=3)
+    prompt = [5, 9, 21, 3, 17]
+    want, _ = q_target.generate([list(prompt)], max_gen_len=16,
+                                temperature=0.0)
+    got = spec.generate([list(prompt)], max_gen_len=16, temperature=0.0)
+    assert got == want
+
+
+def test_greedy_with_int8_target(target, draft):
+    """Weight-only-int8 target params (the 7B serving layout) through the
+    spec loop equal the same model's plain greedy decode."""
+    cfg = target.config
+    qp = quantize_params(target.params)
+    q_llama = Llama(qp, ByteTokenizer(), cfg)
+    d_params, d_cfg = draft
+    spec = SpeculativeLlama(q_llama, d_params, d_cfg, k=4)
+    prompt = [5, 9, 21, 3]
+    want, _ = q_llama.generate([list(prompt)], max_gen_len=16,
+                               temperature=0.0)
+    got = spec.generate([list(prompt)], max_gen_len=16, temperature=0.0)
+    assert got == want
+
+
+def test_eos_mid_round_truncates(target, draft):
+    """An eos accepted inside a speculative round must end generation
+    exactly there (host cut identical to Llama.generate)."""
+    # replay an oracle that IS the greedy continuation but with eos
+    # spliced in — the greedy target won't match it, so instead force
+    # full acceptance by replaying greedy tokens and relying on the
+    # models' own eos only if emitted. Robust variant: compare against
+    # plain generate on many prompts — identical cuts by the greedy-
+    # equality invariant (covered above). Here: a prompt whose plain
+    # greedy output happens to contain eos would be fragile with random
+    # weights, so check the mechanism directly via max_gen_len=1.
+    d_params, d_cfg = draft
+    spec = SpeculativeLlama(target, d_params, d_cfg, k=5)
+    want, _ = target.generate([[5, 9]], max_gen_len=1, temperature=0.0)
+    got = spec.generate([[5, 9]], max_gen_len=1, temperature=0.0)
+    assert got == want and len(got[0]) <= 1
+
+
+def test_multi_prompt_serial(target, draft):
+    d_params, d_cfg = draft
+    spec = SpeculativeLlama(target, d_params, d_cfg, k=2)
+    prompts = [[5, 9, 21], [7, 4], [30, 31, 32, 33]]
+    want, _ = target.generate([list(p) for p in prompts], max_gen_len=8,
+                              temperature=0.0)
+    got = spec.generate([list(p) for p in prompts], max_gen_len=8,
+                        temperature=0.0)
+    # plain generate pads the batch to a common buffer; rows decode
+    # independently under causal masking, so per-row greedy matches
+    assert got == want
+
+
+def test_sampled_preserves_target_distribution(target, draft):
+    """Rejection sampling with a WRONG draft must still draw from the
+    target's processed distribution (temperature + nucleus) — compare
+    empirical first-token distributions, TV-distance bounded as in
+    tests/test_serving_llm.py."""
+    d_params, d_cfg = draft
+    prompt = [5, 9, 11]
+    N = 600
+    temperature, top_p = 0.25, 0.9
+    spec = SpeculativeLlama(target, d_params, d_cfg, k=2)
+    spec_first = []
+    for _ in range(N):
+        out = spec.generate([list(prompt)], max_gen_len=1,
+                            temperature=temperature, top_p=top_p)
+        spec_first.append(out[0][0] if out[0] else target.tokenizer.eos_id)
+    outs, _ = target.generate([list(prompt)] * N, max_gen_len=1,
+                              temperature=temperature, top_p=top_p)
+    gen_first = [t[0] if t else target.tokenizer.eos_id for t in outs]
+    support = sorted(set(spec_first) | set(gen_first))
+    assert len(support) > 1, "degenerate distribution — test is vacuous"
+    pa = collections.Counter(spec_first)
+    pb = collections.Counter(gen_first)
+    tv = 0.5 * sum(abs(pa[t] - pb[t]) / N for t in support)
+    assert tv < 0.2, (tv, pa.most_common(5), pb.most_common(5))
+
+
+def test_sampled_self_draft_accepts_everything(target):
+    """draft == target: q == p, so the accept rule min(1, p/q) fires on
+    every proposal — acceptance rate must be ~1 and rounds ~gen/k."""
+    spec = SpeculativeLlama(target, target.params, target.config, k=4)
+    out = spec.generate([[5, 9, 21, 3]], max_gen_len=24,
+                        temperature=0.7, top_p=0.9)
+    assert len(out[0]) >= 1
+    assert spec.drafts_accepted >= spec.rounds * 4 - 4, (
+        spec.drafts_accepted, spec.rounds
+    )
+
+
+def test_processed_probs_matches_sampler():
+    """processed_probs is the exact distribution sample_next_token draws
+    from: empirical agreement on a small vocab."""
+    key = jax.random.PRNGKey(3)
+    logits = jax.random.normal(key, (1, 16)) * 2.0
+    temperature, top_p = 0.8, 0.7
+    p = np.asarray(processed_probs(logits, temperature, top_p))[0]
+    assert abs(p.sum() - 1.0) < 1e-5
+    draws = []
+    for i in range(2000):
+        t = sample_next_token(
+            logits, jax.random.PRNGKey(100 + i), temperature, top_p
+        )
+        draws.append(int(t[0]))
+    emp = np.bincount(draws, minlength=16) / len(draws)
+    assert np.abs(emp - p).max() < 0.05
+    # nucleus truncation visible: zero-mass tokens are never drawn
+    assert all(emp[i] == 0 for i in range(16) if p[i] == 0)
