@@ -6,7 +6,7 @@ target forward, llama/generation.py:162-215): a cheap draft model proposes
 and the accepted prefix advances the sequence — so the per-token cost of
 the weight-streaming-bound target drops toward 1/k weight passes at high
 acceptance. Autoregressive decode on a v5e is HBM-bound (RESULTS.md: 7B
-int8 b1 sits at ~77-78% of the 8.07 ms weight-streaming floor); this is
+int8 b1 sits at ~77-81% of the 8.07 ms weight-streaming floor); this is
 the one serving lever that beats the floor itself instead of approaching
 it.
 
@@ -19,12 +19,18 @@ TPU-first design decisions:
   beyond the accepted prefix are therefore unreachable garbage that the
   next round overwrites: cache "rollback" is just not advancing ``pos``.
 * **One jitted while_loop.** Draft steps (a lax.scan of k single-token
-  decodes, which use the fast S=1 decode kernels), the (1, k) target
+  decodes, which use the fast S=1 decode kernels), the (B, k) target
   verify forward, acceptance, and the output scatter all live inside a
   single jit — zero host round-trips per round, same structure as
   generation.py::_generate_body.
+* **Batched, per-row.** Every row accepts a different prefix length per
+  round, so rows advance at different rates — exactly the continuous-
+  batching regime: per-row cache positions/bounds (model.py::forward's
+  (B,) start_pos mode) keep one static-shape program while each row
+  decodes at its own offset. The PREGO anticipation step's batch of
+  sampled gens rides this directly.
 * **Static shapes.** k, buffer lengths and both configs are static;
-  acceptance only moves traced scalars (pos, n_emitted).
+  acceptance only moves traced (B,) vectors (pos, n_emitted).
 
 Sampling correctness: greedy verification accepts a draft token iff it
 equals the target argmax, so greedy speculative output is IDENTICAL to
@@ -65,8 +71,8 @@ from prego_tpu.ops.sampling import processed_probs
 
 def _draft_scan(
     draft_params: Params,
-    cur_tok: jax.Array,  # scalar int32 — token at ``pos``, not yet fed
-    pos: jax.Array,  # scalar int32
+    cur_tok: jax.Array,  # (B,) int32 — token at ``pos``, not yet fed
+    pos: jax.Array,  # (B,) int32
     d_cache,
     d_rope,
     key: jax.Array,
@@ -75,41 +81,40 @@ def _draft_scan(
     temperature: float,
     top_p: float,
 ) -> Tuple[jax.Array, jax.Array, object]:
-    """k single-token draft decodes. Feeds cur_tok at pos, then each
-    proposal at its own position; returns (drafts (k,), q_dists (k, V),
-    updated draft cache). drafts[i] is the proposal for position
-    pos+i+1; q_dists[i] is the processed distribution it was drawn from
-    (one-hot-free greedy mode returns zeros — unused)."""
+    """k single-token draft decodes (per-row positions). Returns
+    (drafts (B, k), q_dists (k, B, V), updated draft cache). drafts[:, i]
+    proposes for position pos+i+1; q_dists[i] is the processed
+    distribution it was drawn from (zeros in greedy mode — unused)."""
 
     def step(carry, i):
         tok, cache, ky = carry
         logits, cache = forward(
-            draft_params, tok[None, None], pos + i, cache, d_cfg, d_rope
+            draft_params, tok[:, None], pos + i, cache, d_cfg, d_rope
         )
-        l = logits[0, 0]
+        l = logits[:, 0]  # (B, V)
         if temperature > 0:
             ky, sub = jax.random.split(ky)
-            q = processed_probs(l[None], temperature, top_p)[0]
+            q = processed_probs(l, temperature, top_p)
             nxt = jax.random.categorical(sub, jnp.log(q)).astype(jnp.int32)
         else:
             q = jnp.zeros_like(l)
-            nxt = jnp.argmax(l).astype(jnp.int32)
+            nxt = jnp.argmax(l, axis=-1).astype(jnp.int32)
         return (nxt, cache, ky), (nxt, q)
 
     (_, d_cache, _), (drafts, q_dists) = jax.lax.scan(
         step, (cur_tok, d_cache, key), jnp.arange(k, dtype=jnp.int32)
     )
-    return drafts, q_dists, d_cache
+    return drafts.T, q_dists, d_cache  # (B, k), (k, B, V)
 
 
 def _spec_generate_body(
     target_params: Params,
     draft_params: Optional[Params],
-    prompt: jax.Array,  # (1, Pbuf) int32, pad-filled
-    prompt_len: jax.Array,  # scalar int32 >= 1
+    prompt: jax.Array,  # (B, Pbuf) int32, pad-filled
+    prompt_len: jax.Array,  # (B,) int32 >= 1
     out_budget: jax.Array,  # scalar int32 <= out_buf_len - k
     key: jax.Array,
-    oracle: Optional[jax.Array],  # (L,) int32 absolute-position token replay
+    oracle: Optional[jax.Array],  # (B, L) int32 absolute-position replay
     config: LlamaConfig,
     draft_config: Optional[LlamaConfig],
     k: int,
@@ -119,19 +124,21 @@ def _spec_generate_body(
     eos_id: int,
     kv_quant: bool,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Returns (out_buf (out_buf_len,), n_emitted, rounds, accepted)."""
+    """Returns (out_buf (B, out_buf_len), n_emitted (B,), rounds,
+    accepted)."""
+    B = prompt.shape[0]
     t_rope = precompute_rope(config)
     t_cache = init_cache(
-        config, 1, dtype=target_params["norm"].dtype, quantized=kv_quant
+        config, B, dtype=target_params["norm"].dtype, quantized=kv_quant
     )
     # cache-only prefill of both models (logits unneeded: the first
-    # verify re-feeds the last prompt token). Padded-tail garbage beyond
-    # prompt_len is overwritten by the first rounds before any query can
-    # attend it (see module docstring).
+    # verify re-feeds each row's last prompt token). Padded-tail garbage
+    # beyond each row's prompt_len is overwritten by that row's first
+    # rounds before any query can attend it (see module docstring).
     _, t_cache = forward(target_params, prompt, jnp.int32(0), t_cache, config, t_rope)
     if oracle is None:
         d_rope = precompute_rope(draft_config)
-        d_cache = init_cache(draft_config, 1, dtype=draft_params["norm"].dtype)
+        d_cache = init_cache(draft_config, B, dtype=draft_params["norm"].dtype)
         _, d_cache = forward(
             draft_params, prompt, jnp.int32(0), d_cache, draft_config, d_rope
         )
@@ -139,27 +146,34 @@ def _spec_generate_body(
         d_rope = None
         d_cache = jnp.zeros((), jnp.int32)  # dummy carry leaf
 
-    pos0 = prompt_len - 1
-    cur0 = prompt[0, pos0]
-    out_buf = jnp.zeros((out_buf_len,), jnp.int32)
+    pos0 = prompt_len - 1  # (B,)
+    cur0 = jax.vmap(lambda row, i: row[i])(prompt, pos0)  # (B,)
+    out_buf = jnp.zeros((B, out_buf_len), jnp.int32)
     arange_k = jnp.arange(k, dtype=jnp.int32)
+    rows = jnp.arange(B)
 
-    def cond(state):
-        pos, _, _, _, _, n_emitted, done, _, _, _ = state
+    def active_rows(pos, n_emitted, done):
         return (
             ~done
             & (n_emitted < out_budget)
             & (pos + k <= config.max_seq_len)
         )
 
+    def cond(state):
+        pos, _, _, _, _, n_emitted, done, _, _, _ = state
+        return jnp.any(active_rows(pos, n_emitted, done))
+
     def body(state):
         (pos, cur_tok, t_cache, d_cache, out_buf, n_emitted, done, key,
          rounds, accepted) = state
+        active = active_rows(pos, n_emitted, done)
         key, dkey, vkey, ckey = jax.random.split(key, 4)
 
-        # ---- draft phase: k proposals for positions pos+1 .. pos+k ----
+        # ---- draft phase: k proposals per row for pos+1 .. pos+k ----
         if oracle is not None:
-            drafts = jax.lax.dynamic_slice(oracle, (pos + 1,), (k,))
+            drafts = jax.vmap(
+                lambda row, p: jax.lax.dynamic_slice(row, (p + 1,), (k,))
+            )(oracle, pos)  # (B, k)
             q_dists = None
         else:
             drafts, q_dists, d_cache = _draft_scan(
@@ -167,52 +181,62 @@ def _spec_generate_body(
                 draft_config, k, temperature, top_p,
             )
 
-        # ---- verify: ONE (1, k) target forward at pos ----
-        fed = jnp.concatenate([cur_tok[None], drafts[:-1]])[None]  # (1, k)
+        # ---- verify: ONE (B, k) target forward at per-row pos ----
+        fed = jnp.concatenate([cur_tok[:, None], drafts[:, :-1]], axis=1)
         t_logits, t_cache = forward(
             target_params, fed, pos, t_cache, config, t_rope
-        )
-        L = t_logits[0]  # (k, V); L[i] is the target dist for pos+i+1
+        )  # (B, k, V); [:, i] is the target dist for pos+i+1
 
-        # ---- acceptance ----
+        # ---- acceptance (per row) ----
         if temperature > 0:
-            p_dists = processed_probs(L, temperature, top_p)  # (k, V)
-            pd = p_dists[arange_k, drafts]
-            qd = q_dists[arange_k, drafts]
-            u = jax.random.uniform(vkey, (k,))
+            p_dists = processed_probs(
+                t_logits.reshape(B * k, -1), temperature, top_p
+            ).reshape(B, k, -1)
+            q_bkv = jnp.swapaxes(q_dists, 0, 1)  # (B, k, V)
+            pd = jnp.take_along_axis(p_dists, drafts[..., None], axis=-1)[..., 0]
+            qd = jnp.take_along_axis(q_bkv, drafts[..., None], axis=-1)[..., 0]
+            u = jax.random.uniform(vkey, (B, k))
             acc = u * qd <= pd  # accept w.p. min(1, p/q), div-free form
-            a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32)))
-            ra = jnp.minimum(a, k - 1)
-            resid = jnp.maximum(p_dists[ra] - q_dists[ra], 0.0)
-            rs = jnp.sum(resid)
-            resid = jnp.where(rs > 1e-9, resid / rs, p_dists[ra])
+            a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
+            ra = jnp.minimum(a, k - 1)  # (B,)
+            p_ra = p_dists[rows, ra]  # (B, V)
+            resid = jnp.maximum(p_ra - q_bkv[rows, ra], 0.0)
+            rs = jnp.sum(resid, axis=-1, keepdims=True)
+            resid = jnp.where(rs > 1e-9, resid / jnp.maximum(rs, 1e-30), p_ra)
             corr = jax.random.categorical(ckey, jnp.log(resid)).astype(jnp.int32)
         else:
-            t_hat = jnp.argmax(L, axis=-1).astype(jnp.int32)  # (k,)
+            t_hat = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # (B, k)
             match = drafts == t_hat
-            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
-            corr = t_hat[jnp.minimum(a, k - 1)]
+            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            corr = t_hat[rows, jnp.minimum(a, k - 1)]  # (B,)
 
-        n_new = jnp.where(a == k, k, a + 1)
-        emit = jnp.where(arange_k < a, drafts, corr)  # (k,)
+        n_new = jnp.where(a == k, k, a + 1)  # (B,)
+        emit = jnp.where(arange_k[None] < a[:, None], drafts, corr[:, None])
 
-        # eos inside the round: truncate to include the first eos
-        hit = (emit == eos_id) & (arange_k < n_new)
-        eos_at = jnp.min(jnp.where(hit, arange_k, k))
+        # eos inside the round: truncate each row to include its first eos
+        hit = (emit == eos_id) & (arange_k[None] < n_new[:, None])
+        eos_at = jnp.min(jnp.where(hit, arange_k[None], k), axis=1)  # (B,)
         got_eos = eos_at < k
         n_new = jnp.where(got_eos, eos_at + 1, n_new)
+        n_new = jnp.where(active, n_new, 0)  # frozen rows emit nothing
 
-        out_buf = jax.lax.dynamic_update_slice(out_buf, emit, (n_emitted,))
-        cur_tok = emit[n_new - 1]
+        out_buf = jax.vmap(
+            lambda buf, e, off: jax.lax.dynamic_update_slice(buf, e, (off,))
+        )(out_buf, emit, n_emitted)
+        # rows with n_new == 0 scribble stale emit values at their own
+        # n_emitted offset — beyond their final cut, never read
+        cur_tok = jnp.where(active, emit[rows, jnp.maximum(n_new - 1, 0)],
+                            cur_tok)
         return (
             pos + n_new, cur_tok, t_cache, d_cache, out_buf,
-            n_emitted + n_new, done | got_eos, key,
-            rounds + 1, accepted + a,
+            n_emitted + n_new, done | (got_eos & active), key,
+            rounds + 1, accepted + jnp.sum(jnp.where(active, a, 0)),
         )
 
     state = (
         pos0, cur0, t_cache, d_cache, out_buf,
-        jnp.int32(0), jnp.bool_(False), key, jnp.int32(0), jnp.int32(0),
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool), key,
+        jnp.int32(0), jnp.int32(0),
     )
     state = jax.lax.while_loop(cond, body, state)
     _, _, _, _, out_buf, n_emitted, _, _, rounds, accepted = state
@@ -238,10 +262,12 @@ class SpeculativeLlama:
 
     ``draft_params``/``draft_config`` select the proposal model (same
     vocab; typically the 1B-class shape drafting for 7B/13B). Passing
-    ``oracle_tokens`` to generate() instead replays a known continuation
+    ``oracle_tokens`` to generate() instead replays known continuations
     as the draft (zero draft cost — the acceptance=1 measurement
-    harness). Single-stream (B=1): speculation is a latency lever; batch
-    throughput is already served by the batched/CB paths."""
+    harness). Batched: rows decode at independent per-row positions
+    (each accepts a different prefix per round), the same per-row cache
+    machinery as continuous batching — the PREGO anticipation step's
+    batch of sampled gens fits directly."""
 
     def __init__(
         self,
@@ -274,11 +300,11 @@ class SpeculativeLlama:
         max_gen_len: int,
         temperature: float = 0.0,
         top_p: float = 0.9,
-        oracle_tokens: Optional[List[int]] = None,
+        oracle_tokens: Optional[List[List[int]]] = None,
     ) -> List[List[int]]:
-        """Generated (non-echo) tokens per prompt; B=1 per dispatch —
-        longer lists run serially. ``oracle_tokens`` (absolute-position
-        replay, prompt included) requires temperature=0 and no draft."""
+        """Generated (non-echo) tokens per prompt. ``oracle_tokens``
+        (absolute-position replays, prompt included, one per row)
+        requires temperature=0 and no draft."""
         cfg = self.target.config
         tok = self.target.tokenizer
         if oracle_tokens is None:
@@ -287,30 +313,34 @@ class SpeculativeLlama:
             )
         else:
             assert temperature == 0.0, "oracle replay is greedy-only"
-        if len(prompt_tokens) > 1:
+            assert len(oracle_tokens) == len(prompt_tokens)
+        bsz = len(prompt_tokens)
+        if bsz > cfg.max_batch_size:
             out: List[List[int]] = []
-            for t in prompt_tokens:
+            for i in range(0, bsz, cfg.max_batch_size):
                 out.extend(
-                    self.generate([t], max_gen_len, temperature, top_p,
-                                  oracle_tokens)
+                    self.generate(
+                        prompt_tokens[i : i + cfg.max_batch_size],
+                        max_gen_len, temperature, top_p,
+                        oracle_tokens[i : i + cfg.max_batch_size]
+                        if oracle_tokens is not None else None,
+                    )
                 )
             return out
 
-        (prompt,) = prompt_tokens
-        assert 1 <= len(prompt) <= cfg.max_seq_len
-        max_gen_len = min(max_gen_len, cfg.max_seq_len - len(prompt))
-        p_buf = min(
-            _round_up(len(prompt), self.pad_to_multiple), cfg.max_seq_len
-        )
-        buf = np.full((1, p_buf), tok.pad_id, np.int32)
-        buf[0, : len(prompt)] = np.asarray(prompt, np.int32)
+        max_p = max(len(t) for t in prompt_tokens)
+        assert 1 <= max_p <= cfg.max_seq_len
+        max_gen_len = min(max_gen_len, cfg.max_seq_len - max_p)
+        p_buf = min(_round_up(max_p, self.pad_to_multiple), cfg.max_seq_len)
+        buf = np.full((bsz, p_buf), tok.pad_id, np.int32)
+        for i, t in enumerate(prompt_tokens):
+            buf[i, : len(t)] = np.asarray(t, np.int32)
         out_buf_len = _round_up(max_gen_len + self.k, self.pad_to_multiple)
 
         if oracle_tokens is not None:
-            o = np.full(
-                (cfg.max_seq_len + self.k,), tok.pad_id, np.int32
-            )
-            o[: len(oracle_tokens)] = np.asarray(oracle_tokens, np.int32)
+            o = np.full((bsz, cfg.max_seq_len + self.k), tok.pad_id, np.int32)
+            for i, t in enumerate(oracle_tokens):
+                o[i, : len(t)] = np.asarray(t, np.int32)
             oracle = jnp.asarray(o)
         else:
             oracle = None
@@ -320,7 +350,7 @@ class SpeculativeLlama:
             self.target.params,
             self.draft_params if oracle is None else None,
             jnp.asarray(buf),
-            jnp.int32(len(prompt)),
+            jnp.asarray([len(t) for t in prompt_tokens], jnp.int32),
             jnp.int32(max_gen_len),
             key,
             oracle,
@@ -336,13 +366,16 @@ class SpeculativeLlama:
         out, n, rounds, accepted = jax.device_get((out, n, rounds, accepted))
         self.rounds += int(rounds)
         self.drafts_accepted += int(accepted)
-        toks = out.tolist()[: min(int(n), max_gen_len)]
-        # host cut identical to Llama.generate: pad first, then eos
-        if tok.pad_id in toks:
-            toks = toks[: toks.index(tok.pad_id)]
-        if tok.eos_id in toks:
-            toks = toks[: toks.index(tok.eos_id)]
-        return [toks]
+        results = []
+        for i in range(bsz):
+            toks = out[i].tolist()[: min(int(n[i]), max_gen_len)]
+            # host cut identical to Llama.generate: pad first, then eos
+            if tok.pad_id in toks:
+                toks = toks[: toks.index(tok.pad_id)]
+            if tok.eos_id in toks:
+                toks = toks[: toks.index(tok.eos_id)]
+            results.append(toks)
+        return results
 
     def text_completion(
         self,

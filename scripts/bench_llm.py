@@ -547,7 +547,7 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
         spec = SpeculativeLlama(llama, k=k)
         got = spec.generate([list(prompt)], max_gen_len=gen_len,
                             temperature=0.0,
-                            oracle_tokens=list(prompt) + want[0])
+                            oracle_tokens=[list(prompt) + want[0]])
         assert got == want
         return {"case": case, "smoke": "ok", "tokens": len(got[0])}
 
@@ -573,7 +573,7 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
 
     if draft == "oracle":
         spec = SpeculativeLlama(llama, k=k)
-        kw = {"oracle_tokens": list(prompt) + want[0]}
+        kw = {"oracle_tokens": [list(prompt) + want[0]]}
     else:  # 1B-class bf16 draft (same vocab, fabricated weights)
         import jax.numpy as jnp
 

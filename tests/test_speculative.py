@@ -68,7 +68,7 @@ def test_greedy_oracle_replay_full_acceptance(target):
     oracle = list(prompt) + want[0]
     spec = SpeculativeLlama(target, k=4)
     got = spec.generate([list(prompt)], max_gen_len=gen, temperature=0.0,
-                        oracle_tokens=oracle)
+                        oracle_tokens=[oracle])
     assert got == want
     assert spec.rounds <= -(-gen // 4) + 1  # ceil(gen/k) (+1 eos slack)
     assert spec.drafts_accepted >= spec.rounds * 4 - 4
@@ -121,16 +121,48 @@ def test_eos_mid_round_truncates(target, draft):
     assert got == want and len(got[0]) <= 1
 
 
-def test_multi_prompt_serial(target, draft):
+def test_batched_rows_equal_plain(target, draft):
+    """Batched spec decode: rows of DIFFERENT prompt lengths advance at
+    independent per-row positions and rates, yet each row's greedy output
+    equals plain batched greedy (rows decode independently under causal
+    masking in both)."""
+    d_params, d_cfg = draft
+    spec = SpeculativeLlama(target, d_params, d_cfg, k=3)
+    prompts = [[5, 9, 21], [7, 4], [30, 31, 32, 33], [11]]
+    want, _ = target.generate([list(p) for p in prompts], max_gen_len=12,
+                              temperature=0.0)
+    got = spec.generate([list(p) for p in prompts], max_gen_len=12,
+                        temperature=0.0)
+    assert got == want
+
+
+def test_batched_oracle_per_row_replays(target):
+    """Per-row oracle replays: one row replays its true greedy
+    continuation (full acceptance), the other replays garbage (zero
+    acceptance) — both rows still emit exactly their plain greedy."""
+    prompts = [[5, 9, 21, 3], [7, 4, 18]]
+    want, _ = target.generate([list(p) for p in prompts], max_gen_len=10,
+                              temperature=0.0)
+    oracles = [
+        prompts[0] + want[0],  # true continuation
+        prompts[1] + [99] * 12,  # garbage draft
+    ]
+    spec = SpeculativeLlama(target, k=4)
+    got = spec.generate([list(p) for p in prompts], max_gen_len=10,
+                        temperature=0.0, oracle_tokens=oracles)
+    assert got == want
+
+
+def test_batch_overflow_chunks(target, draft):
+    """Batches beyond max_batch_size split transparently (the same
+    contract as Llama.generate)."""
     d_params, d_cfg = draft
     spec = SpeculativeLlama(target, d_params, d_cfg, k=2)
-    prompts = [[5, 9, 21], [7, 4], [30, 31, 32, 33]]
-    want, _ = target.generate([list(p) for p in prompts], max_gen_len=8,
+    prompts = [[5 + i, 9, 21] for i in range(6)]  # max_batch_size is 4
+    want, _ = target.generate([list(p) for p in prompts], max_gen_len=6,
                               temperature=0.0)
-    got = spec.generate([list(p) for p in prompts], max_gen_len=8,
+    got = spec.generate([list(p) for p in prompts], max_gen_len=6,
                         temperature=0.0)
-    # plain generate pads the batch to a common buffer; rows decode
-    # independently under causal masking, so per-row greedy matches
     assert got == want
 
 
