@@ -199,13 +199,29 @@ class JaxLlamaLLM:
         # semantics); "cb": route every text_completion through the
         # continuous-batching slot loop (serving_llm.ContinuousBatcher)
         cb_slots: Optional[int] = None,  # CB slot count (default max_batch_size)
+        spec_k: int = 0,  # >0: speculative decoding with k-token drafts
+        # (models/llama/speculative.py) — greedy output identical to the
+        # plain path for any draft; sampled mode distribution-preserving
+        spec_draft: Optional[str] = None,  # "fabricated-1b"/"fabricated-tiny"
+        # (random weights — demonstrates the machinery; acceptance ~0) or a
+        # Meta checkpoint dir for a real trained draft
     ):
         self.prefix_cache = prefix_cache
         if serving not in ("batch", "cb"):
             raise ValueError(f"unknown serving mode {serving!r} (batch|cb)")
+        if spec_k and serving == "cb":
+            raise ValueError(
+                "speculative decoding rides the batch path (spec_k is "
+                "incompatible with --serving cb)"
+            )
+        if bool(spec_k) != (spec_draft is not None):
+            raise ValueError("spec_k and spec_draft must be set together")
         self._serving = serving
         self._cb_slots = cb_slots
         self._cb = None  # built lazily per (temperature-independent) config
+        self._spec_k = int(spec_k)
+        self._spec_draft = spec_draft
+        self._spec = None  # built lazily (needs self.llama)
         if fabricated is not None:
             self._init_fabricated(
                 fabricated, max_seq_len, max_batch_size, quantize, kv_quant
@@ -423,6 +439,51 @@ class JaxLlamaLLM:
             )
         return self._cb
 
+    def _speculator(self):
+        if self._spec is None:
+            import jax
+            import jax.numpy as jnp
+
+            from prego_tpu.models.llama import LlamaConfig
+            from prego_tpu.models.llama.model import init_params
+            from prego_tpu.models.llama.speculative import SpeculativeLlama
+
+            cfg = self.llama.config
+            if self._spec_draft.startswith("fabricated-"):
+                s = self._FABRICATED_SHAPES[
+                    self._spec_draft[len("fabricated-"):]
+                ]
+                d_cfg = LlamaConfig(
+                    dim=s["dim"], n_layers=s["n_layers"], n_heads=s["n_heads"],
+                    n_kv_heads=s["n_heads"], vocab_size=cfg.vocab_size,
+                    multiple_of=256 if s["dim"] >= 256 else 16, norm_eps=1e-5,
+                    max_batch_size=cfg.max_batch_size,
+                    max_seq_len=cfg.max_seq_len,
+                )
+                dtype = (
+                    jnp.bfloat16
+                    if jax.default_backend() == "tpu" else jnp.float32
+                )
+                d_params = init_params(d_cfg, jax.random.PRNGKey(11), dtype=dtype)
+            else:  # Meta checkpoint dir (bf16 draft, same tokenizer/vocab)
+                from prego_tpu.checkpoint.convert import convert_meta_checkpoint
+
+                d_cfg = LlamaConfig.from_params_json(
+                    self._spec_draft,
+                    max_seq_len=cfg.max_seq_len,
+                    max_batch_size=cfg.max_batch_size,
+                    vocab_size=cfg.vocab_size,
+                )
+                dtype = (
+                    jnp.bfloat16
+                    if jax.default_backend() == "tpu" else jnp.float32
+                )
+                d_params = convert_meta_checkpoint(self._spec_draft, d_cfg, dtype)
+            self._spec = SpeculativeLlama(
+                self.llama, d_params, d_cfg, k=self._spec_k
+            )
+        return self._spec
+
     def text_completion(
         self,
         prompts: List[str],
@@ -446,6 +507,11 @@ class JaxLlamaLLM:
                 toks, max_gen_len, temperature=temperature, top_p=top_p
             )
             return [{"generation": self.llama.tokenizer.decode(t)} for t in outs]
+        if self._spec_k:
+            return self._speculator().text_completion(
+                prompts, temperature=temperature, top_p=top_p,
+                max_gen_len=max_gen_len, use_prefix_cache=self.prefix_cache,
+            )
         return self.llama.text_completion(
             prompts, temperature=temperature, top_p=top_p,
             max_gen_len=max_gen_len, use_prefix_cache=self.prefix_cache,

@@ -107,6 +107,12 @@ def main(argv: Optional[List[str]] = None):
                    "batching slot loop with prefix-sharing admission")
     p.add_argument("--cb_slots", type=int, default=None,
                    help="slot count for --serving cb (default max_batch_size)")
+    p.add_argument("--spec_k", type=int, default=0,
+                   help="speculative decoding with k-token drafts "
+                   "(models/llama/speculative.py); needs --spec_draft")
+    p.add_argument("--spec_draft", type=str, default=None,
+                   help="draft model: 'fabricated-1b'/'fabricated-tiny' "
+                   "(random weights — machinery demo) or a Meta ckpt dir")
     p.add_argument("--max_gen_len", type=int, default=8)
     p.add_argument("--temperature", type=float, default=0.6)
     p.add_argument("--top_p", type=float, default=0.9)
@@ -168,6 +174,8 @@ def main(argv: Optional[List[str]] = None):
             fabricated=args.fabricated,
             serving=args.serving,
             cb_slots=args.cb_slots,
+            spec_k=args.spec_k,
+            spec_draft=args.spec_draft,
         )
 
     seqs, contexts, toy2class, idx2action, idx2emoji = load_assets(args)

@@ -110,8 +110,9 @@ def _draft_scan(
 def _spec_generate_body(
     target_params: Params,
     draft_params: Optional[Params],
-    prompt: jax.Array,  # (B, Pbuf) int32, pad-filled
-    prompt_len: jax.Array,  # (B,) int32 >= 1
+    prompt: jax.Array,  # (B, Pbuf) int32, pad-filled — SUFFIX coords when
+    #                     resuming from cached prefixes (start_offset > 0)
+    prompt_len: jax.Array,  # (B,) int32 >= 1, suffix coords
     out_budget: jax.Array,  # scalar int32 <= out_buf_len - k
     key: jax.Array,
     oracle: Optional[jax.Array],  # (B, L) int32 absolute-position replay
@@ -123,31 +124,41 @@ def _spec_generate_body(
     top_p: float,
     eos_id: int,
     kv_quant: bool,
+    t_cache=None,  # None -> fresh zeros inside the jit; else a prefix
+    #                cache already holding [0, start_offset)
+    d_cache=None,
+    start_offset: jax.Array = None,  # scalar int32 absolute pos of prompt[:, 0]
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (out_buf (B, out_buf_len), n_emitted (B,), rounds,
     accepted)."""
     B = prompt.shape[0]
+    if start_offset is None:
+        start_offset = jnp.int32(0)
     t_rope = precompute_rope(config)
-    t_cache = init_cache(
-        config, B, dtype=target_params["norm"].dtype, quantized=kv_quant
-    )
+    if t_cache is None:
+        t_cache = init_cache(
+            config, B, dtype=target_params["norm"].dtype, quantized=kv_quant
+        )
     # cache-only prefill of both models (logits unneeded: the first
     # verify re-feeds each row's last prompt token). Padded-tail garbage
     # beyond each row's prompt_len is overwritten by that row's first
     # rounds before any query can attend it (see module docstring).
-    _, t_cache = forward(target_params, prompt, jnp.int32(0), t_cache, config, t_rope)
+    _, t_cache = forward(target_params, prompt, start_offset, t_cache, config, t_rope)
     if oracle is None:
         d_rope = precompute_rope(draft_config)
-        d_cache = init_cache(draft_config, B, dtype=draft_params["norm"].dtype)
+        if d_cache is None:
+            d_cache = init_cache(
+                draft_config, B, dtype=draft_params["norm"].dtype
+            )
         _, d_cache = forward(
-            draft_params, prompt, jnp.int32(0), d_cache, draft_config, d_rope
+            draft_params, prompt, start_offset, d_cache, draft_config, d_rope
         )
     else:
         d_rope = None
         d_cache = jnp.zeros((), jnp.int32)  # dummy carry leaf
 
-    pos0 = prompt_len - 1  # (B,)
-    cur0 = jax.vmap(lambda row, i: row[i])(prompt, pos0)  # (B,)
+    pos0 = start_offset + prompt_len - 1  # (B,) absolute
+    cur0 = jax.vmap(lambda row, i: row[i])(prompt, prompt_len - 1)  # (B,)
     out_buf = jnp.zeros((B, out_buf_len), jnp.int32)
     arange_k = jnp.arange(k, dtype=jnp.int32)
     rows = jnp.arange(B)
@@ -253,6 +264,42 @@ _spec_generate_jit = functools.partial(
 )(_spec_generate_body)
 
 
+@functools.partial(jax.jit, static_argnames=_SPEC_STATICS + ("batch",))
+def _spec_from_prefix_jit(
+    target_params: Params,
+    draft_params: Params,
+    suffix: jax.Array,  # (B, Sbuf) int32 — suffix coords
+    suffix_len: jax.Array,  # (B,) int32 >= 1
+    out_budget: jax.Array,
+    key: jax.Array,
+    t_prefix,  # B=1 target prefix cache — NOT donated (LRU entry)
+    d_prefix,  # B=1 draft prefix cache — NOT donated
+    start_offset: jax.Array,  # scalar int32 — absolute position of suffix[:, 0]
+    config: LlamaConfig,
+    draft_config: LlamaConfig,
+    k: int,
+    out_buf_len: int,
+    temperature: float,
+    top_p: float,
+    eos_id: int,
+    kv_quant: bool,
+    batch: int = 1,
+):
+    """Prefix-cached speculative generation: both models resume from
+    their cached B=1 prefix KV (broadcast to the request batch INSIDE the
+    jit — the host-side per-leaf repeat costs one dispatch per cache leaf,
+    generation.py:153-177), prefill only the novel suffix, then run
+    speculative rounds."""
+    t_cache = jax.tree.map(lambda x: jnp.repeat(x, batch, axis=0), t_prefix)
+    d_cache = jax.tree.map(lambda x: jnp.repeat(x, batch, axis=0), d_prefix)
+    return _spec_generate_body(
+        target_params, draft_params, suffix, suffix_len, out_budget, key,
+        None, config, draft_config, k, out_buf_len, temperature, top_p,
+        eos_id, kv_quant, t_cache=t_cache, d_cache=d_cache,
+        start_offset=start_offset,
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -290,6 +337,16 @@ class SpeculativeLlama:
         self.k = int(k)
         self.pad_to_multiple = pad_to_multiple
         self._key = jax.random.PRNGKey(1)
+        # the draft side reuses Llama's prefix-LRU machinery wholesale
+        # (chunked builds, delta-extends, eviction) for its OWN cache tree
+        self._draft_llama = None
+        if draft_params is not None:
+            from prego_tpu.models.llama.generation import Llama
+
+            self._draft_llama = Llama(
+                draft_params, target.tokenizer, draft_config,
+                prefix_cache_slots=target.prefix_cache_slots,
+            )
         # observability (host-mirrored after each generate)
         self.rounds = 0
         self.drafts_accepted = 0
@@ -377,18 +434,116 @@ class SpeculativeLlama:
             results.append(toks)
         return results
 
+    def generate_with_prefix_cache(
+        self,
+        prompt_tokens: List[List[int]],
+        max_gen_len: int,
+        temperature: float = 0.0,
+        top_p: float = 0.9,
+    ) -> List[List[int]]:
+        """Speculative generation reusing BOTH models' cached KV for the
+        batch-common prompt prefix (the PREGO anticipation regime: the
+        same few-shot context hundreds of times per video,
+        llama_meta.py:118-174). Prefix discovery/bucketing matches
+        Llama.generate_with_prefix_cache; the target's LRU is shared with
+        the non-speculative path, the draft keeps its own."""
+        target, cfg = self.target, self.target.config
+        assert self._draft_llama is not None, (
+            "prefix-cached speculation needs a draft model"
+        )
+        bsz = len(prompt_tokens)
+        if bsz > cfg.max_batch_size:
+            out: List[List[int]] = []
+            for i in range(0, bsz, cfg.max_batch_size):
+                out.extend(
+                    self.generate_with_prefix_cache(
+                        prompt_tokens[i : i + cfg.max_batch_size],
+                        max_gen_len, temperature, top_p,
+                    )
+                )
+            return out
+
+        assert max(len(t) for t in prompt_tokens) <= cfg.max_seq_len
+        common = min(len(t) for t in prompt_tokens)
+        first = prompt_tokens[0]
+        shared = 0
+        while shared < common and all(
+            t[shared] == first[shared] for t in prompt_tokens
+        ):
+            shared += 1
+        # keep >= 1 prompt token in the suffix (the first verify re-feeds it)
+        eff = ((min(shared, common - 1)) // target.PREFIX_CHUNK) * target.PREFIX_CHUNK
+        if eff < target.PREFIX_CHUNK:
+            return self.generate(prompt_tokens, max_gen_len, temperature, top_p)
+
+        prefix = tuple(first[:eff])
+        t_prefix = target._ensure_prefix_cache(prefix)
+        d_prefix = self._draft_llama._ensure_prefix_cache(prefix)
+
+        tok = target.tokenizer
+        suffixes = [t[eff:] for t in prompt_tokens]
+        max_s = max(len(s) for s in suffixes)
+        max_gen_len = min(max_gen_len, cfg.max_seq_len - eff - max_s)
+        s_buf = min(
+            _round_up(max_s, self.pad_to_multiple), cfg.max_seq_len - eff
+        )
+        buf = np.full((bsz, s_buf), tok.pad_id, np.int32)
+        for i, s in enumerate(suffixes):
+            buf[i, : len(s)] = np.asarray(s, np.int32)
+        out_buf_len = _round_up(max_gen_len + self.k, self.pad_to_multiple)
+
+        self._key, key = jax.random.split(self._key)
+        out, n, rounds, accepted = _spec_from_prefix_jit(
+            target.params,
+            self.draft_params,
+            jnp.asarray(buf),
+            jnp.asarray([len(s) for s in suffixes], jnp.int32),
+            jnp.int32(max_gen_len),
+            key,
+            t_prefix,
+            d_prefix,
+            jnp.int32(eff),
+            config=cfg,
+            draft_config=self.draft_config,
+            k=self.k,
+            out_buf_len=out_buf_len,
+            temperature=float(temperature),
+            top_p=float(top_p),
+            eos_id=int(tok.eos_id),
+            kv_quant=target.kv_quant,
+            batch=bsz,
+        )
+        out, n, rounds, accepted = jax.device_get((out, n, rounds, accepted))
+        self.rounds += int(rounds)
+        self.drafts_accepted += int(accepted)
+        results = []
+        for i in range(bsz):
+            toks = out[i].tolist()[: min(int(n[i]), max_gen_len)]
+            if tok.pad_id in toks:
+                toks = toks[: toks.index(tok.pad_id)]
+            if tok.eos_id in toks:
+                toks = toks[: toks.index(tok.eos_id)]
+            results.append(toks)
+        return results
+
     def text_completion(
         self,
         prompts: List[str],
         temperature: float = 0.0,
         top_p: float = 0.9,
         max_gen_len: Optional[int] = None,
+        use_prefix_cache: bool = False,
     ) -> List[dict]:
         if max_gen_len is None:
             max_gen_len = self.target.config.max_seq_len - 1
         tok = self.target.tokenizer
         prompt_tokens = [tok.encode(x, bos=True, eos=False) for x in prompts]
-        gens = self.generate(
+        gen = (
+            self.generate_with_prefix_cache
+            if use_prefix_cache and self._draft_llama is not None
+            else self.generate
+        )
+        gens = gen(
             prompt_tokens, max_gen_len=max_gen_len,
             temperature=temperature, top_p=top_p,
         )

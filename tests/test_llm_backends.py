@@ -195,6 +195,61 @@ def test_cb_backend_drives_anticipation_with_context_reuse():
     )
 
 
+def test_jax_llama_spec_serving_matches_batch_greedy():
+    """--spec_k/--spec_draft: text_completion through the speculative
+    decoder is greedy-identical to the plain batch path for ANY draft
+    (here a different-seed random draft — acceptance ~0), on both the
+    short-prompt fallback and the prefix-cached path."""
+    from prego_tpu.anticipation.llm import JaxLlamaLLM
+
+    batch = JaxLlamaLLM(None, None, fabricated="tiny", max_seq_len=256)
+    spec = JaxLlamaLLM(
+        None, None, fabricated="tiny", max_seq_len=256,
+        spec_k=2, spec_draft="fabricated-tiny",
+    )
+    ctx = "step list: " + ", ".join(str(i % 9) for i in range(60)) + "\n"
+    for prompts in (
+        ["Sequence: 1, 2, 3\nNext:\n", "Sequence: 1, 2\nNext:\n"],
+        [ctx + "next after 3:\n", ctx + "next after 7:\n", ctx + "next:\n"],
+    ):
+        a = batch.text_completion(prompts, max_gen_len=6, temperature=0.0)
+        b = spec.text_completion(prompts, max_gen_len=6, temperature=0.0)
+        assert a == b, prompts[0][:30]
+
+
+def test_spec_backend_drives_anticipation_with_context_reuse():
+    """The full PREGO driver through the speculative backend: identical
+    greedy verdicts to the batch path, contexts prefix-prefilled once per
+    toy on BOTH models."""
+    from prego_tpu.anticipation.driver import run_anticipation
+    from prego_tpu.anticipation.llm import JaxLlamaLLM
+
+    ctx_a = ("toy A steps: " + "3 1 4 1 5 9 2 6 " * 12)[:195]
+    ctx_b = ("toy B steps: " + "2 7 1 8 2 8 1 8 " * 12)[:195]
+    contexts = {"a21": {"num": ctx_a}, "a33": {"num": ctx_b}}
+    seqs = {
+        "v1-x-a21_1": {"pred": [1, 2, 3], "gt": [1, 2, 3]},
+        "v2-x-a33_1": {"pred": [4, 5], "gt": [4, 5]},
+    }
+
+    def run(**kw):
+        llm = JaxLlamaLLM(
+            None, None, fabricated="tiny", max_seq_len=512,
+            max_batch_size=8, **kw,
+        )
+        res = run_anticipation(
+            seqs, llm, dataset="assembly", contexts=contexts,
+            temperature=0.0, num_samples=2, max_gen_len=4,
+        )
+        return llm, res
+
+    llm_b, res_b = run()
+    llm_s, res_s = run(spec_k=2, spec_draft="fabricated-tiny")
+    assert res_s.preds == res_b.preds
+    assert llm_s.llama.prefix_rebuilds == 2  # one per toy context
+    assert llm_s._spec._draft_llama.prefix_rebuilds == 2
+
+
 def test_jax_llama_fabricated_tiny_drives_cli(tmp_path):
     """--fabricated runs the real driver with random weights at a named
     shape (timing demonstrations; no checkpoint assets needed)."""

@@ -166,6 +166,37 @@ def test_batch_overflow_chunks(target, draft):
     assert got == want
 
 
+def test_prefix_cached_spec_equals_prefix_cached_plain(target, draft):
+    """generate_with_prefix_cache through the spec loop: greedy output
+    equals the plain prefix-cached path (both resume from the SAME target
+    LRU entry), the draft builds its own prefix once, and the target LRU
+    is shared with the non-speculative path."""
+    d_params, d_cfg = draft
+    spec = SpeculativeLlama(target, d_params, d_cfg, k=3)
+    base = [4 + (i % 90) for i in range(70)]  # shared 70-token context
+    prompts = [base + [100, 101], base + [102], base + [103, 104, 105]]
+    target.prefix_rebuilds = target.prefix_extends = 0
+    target._prefix_caches.clear()
+    want = target.generate_with_prefix_cache(
+        [list(p) for p in prompts], max_gen_len=10, temperature=0.0
+    )
+    got = spec.generate_with_prefix_cache(
+        [list(p) for p in prompts], max_gen_len=10, temperature=0.0
+    )
+    assert got == want
+    assert target.prefix_rebuilds == 1  # one shared entry, both paths
+    assert spec._draft_llama.prefix_rebuilds == 1
+    # short prompts (no shareable prefix) fall back to the plain spec path
+    short = [[5, 9], [7, 4, 2]]
+    want_s = target.generate_with_prefix_cache(
+        [list(p) for p in short], max_gen_len=6, temperature=0.0
+    )
+    got_s = spec.generate_with_prefix_cache(
+        [list(p) for p in short], max_gen_len=6, temperature=0.0
+    )
+    assert got_s == want_s
+
+
 def test_sampled_preserves_target_distribution(target, draft):
     """Rejection sampling with a WRONG draft must still draw from the
     target's processed distribution (temperature + nucleus) — compare
