@@ -202,9 +202,11 @@ class JaxLlamaLLM:
         spec_k: int = 0,  # >0: speculative decoding with k-token drafts
         # (models/llama/speculative.py) — greedy output identical to the
         # plain path for any draft; sampled mode distribution-preserving
-        spec_draft: Optional[str] = None,  # "fabricated-1b"/"fabricated-tiny"
-        # (random weights — demonstrates the machinery; acceptance ~0) or a
-        # Meta checkpoint dir for a real trained draft
+        spec_draft: Optional[str] = None,  # "self-N" (first N target
+        # layers, SHARED weight arrays — zero extra HBM, the deployable
+        # draft at 7B on one v5e), "fabricated-1b"/"fabricated-tiny"
+        # (random weights — demonstrates the machinery; acceptance ~0), or
+        # a Meta checkpoint dir for a real trained draft
     ):
         self.prefix_cache = prefix_cache
         if serving not in ("batch", "cb"):
@@ -446,9 +448,23 @@ class JaxLlamaLLM:
 
             from prego_tpu.models.llama import LlamaConfig
             from prego_tpu.models.llama.model import init_params
-            from prego_tpu.models.llama.speculative import SpeculativeLlama
+            from prego_tpu.models.llama.speculative import (
+                SpeculativeLlama,
+                self_draft,
+            )
 
             cfg = self.llama.config
+            if self._spec_draft.startswith("self-"):
+                # layer-truncated self-draft: shares the TARGET's weight
+                # arrays (zero extra HBM — the deployable 7B-on-one-v5e
+                # draft config); "self-8" = first 8 of the target's layers
+                d_params, d_cfg = self_draft(
+                    self.llama.params, cfg, int(self._spec_draft[5:])
+                )
+                self._spec = SpeculativeLlama(
+                    self.llama, d_params, d_cfg, k=self._spec_k
+                )
+                return self._spec
             if self._spec_draft.startswith("fabricated-"):
                 s = self._FABRICATED_SHAPES[
                     self._spec_draft[len("fabricated-"):]

@@ -111,8 +111,10 @@ def main(argv: Optional[List[str]] = None):
                    help="speculative decoding with k-token drafts "
                    "(models/llama/speculative.py); needs --spec_draft")
     p.add_argument("--spec_draft", type=str, default=None,
-                   help="draft model: 'fabricated-1b'/'fabricated-tiny' "
-                   "(random weights — machinery demo) or a Meta ckpt dir")
+                   help="draft model: 'self-N' (first N target layers, "
+                   "shared weights — zero extra HBM), 'fabricated-1b'/"
+                   "'fabricated-tiny' (random weights — machinery demo), "
+                   "or a Meta ckpt dir")
     p.add_argument("--max_gen_len", type=int, default=8)
     p.add_argument("--temperature", type=float, default=0.6)
     p.add_argument("--top_p", type=float, default=0.9)

@@ -52,6 +52,7 @@ with random weights, the overhead floor). See scripts/bench_llm.py
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Optional, Tuple
 
@@ -302,6 +303,34 @@ def _spec_from_prefix_jit(
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def self_draft(
+    target_params: Params, config: LlamaConfig, n_layers: int
+) -> Tuple[Params, LlamaConfig]:
+    """Layer-truncated SELF-draft: the target's own first ``n_layers``
+    blocks, with its embedding/final-norm/lm-head, as the proposal model
+    (the LayerSkip / Draft-&-Verify early-exit family).
+
+    The returned tree REFERENCES the target's arrays — zero extra HBM
+    for draft weights, which is the point on a 16 GB v5e: a separate
+    1B-class bf16 draft costs ~2.7 GB beside the 6.74 GB int8 7B target,
+    while a self-draft costs only its (n_layers/n_layers-of-target)-
+    fraction KV cache. Works for every target layout (bf16, int8
+    {"q","s"}, fused wqkv/w13) because the slice preserves per-layer
+    leaf structure and ``forward`` dispatches per leaf. With trained
+    weights the truncated stack is a genuinely correlated proposer
+    (early-exit logits); with fabricated random weights acceptance is ~0
+    like any independent draft — n_layers == config.n_layers makes the
+    draft the target itself (acceptance ~1, the real-draft-cost ceiling,
+    vs the oracle's zero-cost ceiling)."""
+    if not 1 <= n_layers <= config.n_layers:
+        raise ValueError(
+            f"self-draft depth {n_layers} outside [1, {config.n_layers}]"
+        )
+    d_params = dict(target_params)
+    d_params["layers"] = list(target_params["layers"])[:n_layers]
+    return d_params, dataclasses.replace(config, n_layers=n_layers)
 
 
 class SpeculativeLlama:

@@ -35,6 +35,7 @@ instead of its full prompt.
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -277,7 +278,7 @@ class ContinuousBatcher:
         top_p: float = 0.9,
         seed: int = 1,
         prefix_sharing: bool = True,
-        overlap_fetch: bool = False,
+        overlap_fetch: Optional[bool] = None,
     ):
         self.llama = llama
         self.config: LlamaConfig = llama.config
@@ -290,12 +291,22 @@ class ContinuousBatcher:
         # Pipeline the per-chunk emits fetch behind the NEXT chunk's
         # execution: the host processes chunk N-1's emissions while the
         # device runs chunk N. Hides one transfer round-trip per chunk —
-        # material on a remote/tunneled device (~tens of ms per blocking
-        # fetch), a slight net loss locally (admission lags one chunk, so
-        # retired slots idle ~chunk extra steps and one all-dead trailing
-        # chunk runs per burst). Opt-in; host bookkeeping is identical —
-        # it just observes each chunk's emissions one chunk later.
-        self.overlap_fetch = overlap_fetch
+        # material whenever the fetch crosses a device boundary
+        # (same-window A/B/A at the flagship s16 ctx burst, r4d: control
+        # 448.2 / overlap 483.1 / control 433.5 tok/s — +9.6% vs control
+        # mean, outside the control spread), a slight net loss on a host
+        # backend (admission lags one chunk, so retired slots idle ~chunk
+        # extra steps and one all-dead trailing chunk runs per burst).
+        # Default: PREGO_CB_OVERLAP=1/0 if set, else ON for device
+        # backends and OFF on CPU. Host bookkeeping is identical either
+        # way — it just observes each chunk's emissions one chunk later.
+        if overlap_fetch is None:
+            env = os.environ.get("PREGO_CB_OVERLAP")
+            if env is not None:
+                overlap_fetch = env == "1"
+            else:
+                overlap_fetch = jax.default_backend() != "cpu"
+        self.overlap_fetch = bool(overlap_fetch)
         self.kv_quant = bool(getattr(llama, "kv_quant", False))
         self._cache_dtype = self.params["norm"].dtype  # bf16 on TPU, f32 CPU
         self._rope = precompute_rope(self.config)

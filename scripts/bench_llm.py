@@ -451,7 +451,8 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
             llama, slots=slots,
             chunk=4 if tiny else int(os.environ.get("PREGO_CB_CHUNK", "8")),
             temperature=0.0,
-            overlap_fetch=os.environ.get("PREGO_CB_OVERLAP", "0") == "1",
+            # overlap_fetch: auto default (PREGO_CB_OVERLAP env, else ON
+            # for device backends — the r4d same-window A/B/A win)
         )
         t_reg = time.perf_counter()
         for c in contexts:
@@ -533,7 +534,8 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
     between the endpoints at its measured acceptance rate.  The plain
     greedy baseline is measured in the SAME process/window."""
     case = f"spec_decode_{shape}_" + (
-        draft if draft == "oracle" else f"draft{draft}"
+        draft if draft == "oracle" or draft.startswith("self")
+        else f"draft{draft}"
     ) + f"_k{k}"
     if tiny:
         from prego_tpu.models.llama.speculative import SpeculativeLlama
@@ -574,6 +576,15 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
     if draft == "oracle":
         spec = SpeculativeLlama(llama, k=k)
         kw = {"oracle_tokens": [list(prompt) + want[0]]}
+    elif draft.startswith("self"):  # layer-truncated self-draft
+        # shares the target's weight arrays — zero extra HBM; measures
+        # the REAL per-round draft cost at (N/target-layers) depth
+        # (acceptance ~0 on fabricated weights, like any non-oracle draft)
+        from prego_tpu.models.llama.speculative import self_draft
+
+        d_params, d_cfg = self_draft(llama.params, cfg, int(draft[4:]))
+        spec = SpeculativeLlama(llama, d_params, d_cfg, k=k)
+        kw = {}
     else:  # 1B-class bf16 draft (same vocab, fabricated weights)
         import jax.numpy as jnp
 
@@ -620,6 +631,14 @@ CASES = {
     "spec_decode_7b_oracle_k4": lambda tiny: bench_spec_decode(tiny, k=4),
     "spec_decode_7b_draft1b_k4": lambda tiny: bench_spec_decode(
         tiny, k=4, draft="1b"),
+    # layer-truncated self-drafts (shared weights, zero extra HBM):
+    # self16 = half depth (real draft cost at 16/32 layers), self32 =
+    # full depth (the draft IS the target — acceptance ~1 with REAL
+    # draft-loop cost, vs the oracle's zero-cost ceiling)
+    "spec_decode_7b_self16_k4": lambda tiny: bench_spec_decode(
+        tiny, k=4, draft="self16"),
+    "spec_decode_7b_self32_k4": lambda tiny: bench_spec_decode(
+        tiny, k=4, draft="self32"),
     "decode_b8": lambda tiny: bench_decode(8, tiny),
     "decode_b8_int8": lambda tiny: bench_decode(8, tiny, "int8"),
     "decode_b8_int8x8": lambda tiny: bench_decode(8, tiny, "int8x8"),

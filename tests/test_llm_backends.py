@@ -207,6 +207,11 @@ def test_jax_llama_spec_serving_matches_batch_greedy():
         None, None, fabricated="tiny", max_seq_len=256,
         spec_k=2, spec_draft="fabricated-tiny",
     )
+    # layer-truncated self-draft (shared weights, zero extra HBM)
+    spec_self = JaxLlamaLLM(
+        None, None, fabricated="tiny", max_seq_len=256,
+        spec_k=2, spec_draft="self-1",
+    )
     ctx = "step list: " + ", ".join(str(i % 9) for i in range(60)) + "\n"
     for prompts in (
         ["Sequence: 1, 2, 3\nNext:\n", "Sequence: 1, 2\nNext:\n"],
@@ -214,7 +219,13 @@ def test_jax_llama_spec_serving_matches_batch_greedy():
     ):
         a = batch.text_completion(prompts, max_gen_len=6, temperature=0.0)
         b = spec.text_completion(prompts, max_gen_len=6, temperature=0.0)
+        c = spec_self.text_completion(prompts, max_gen_len=6, temperature=0.0)
         assert a == b, prompts[0][:30]
+        assert a == c, prompts[0][:30]
+    assert (
+        spec_self._spec.draft_params["layers"][0]
+        is spec_self.llama.params["layers"][0]
+    )
 
 
 def test_spec_backend_drives_anticipation_with_context_reuse():

@@ -101,6 +101,16 @@ def test_greedy_with_int8_target(target, draft):
                                temperature=0.0)
     got = spec.generate([list(prompt)], max_gen_len=16, temperature=0.0)
     assert got == want
+    # layer-truncated self-draft over the SAME int8 leaves (the
+    # deployable 7B-on-one-v5e config: int8 target + shared-weight draft)
+    from prego_tpu.models.llama.speculative import self_draft
+
+    sd_params, sd_cfg = self_draft(qp, cfg, 1)
+    spec_self = SpeculativeLlama(q_llama, sd_params, sd_cfg, k=4)
+    got_self = spec_self.generate(
+        [list(prompt)], max_gen_len=16, temperature=0.0
+    )
+    assert got_self == want
 
 
 def test_eos_mid_round_truncates(target, draft):
@@ -195,6 +205,62 @@ def test_prefix_cached_spec_equals_prefix_cached_plain(target, draft):
         [list(p) for p in short], max_gen_len=6, temperature=0.0
     )
     assert got_s == want_s
+
+
+def test_self_draft_truncated_greedy_equals_plain(target):
+    """Layer-truncated self-draft (shared weight arrays): greedy output
+    equals plain greedy — the ANY-draft invariant — on both the plain and
+    prefix-cached paths, and the draft tree holds no new weight arrays."""
+    from prego_tpu.models.llama.speculative import self_draft
+
+    d_params, d_cfg = self_draft(target.params, target.config, 1)
+    assert d_cfg.n_layers == 1
+    assert d_params["layers"][0] is target.params["layers"][0]  # shared
+    assert d_params["output"] is target.params["output"]
+    spec = SpeculativeLlama(target, d_params, d_cfg, k=3)
+    for prompt in ([5, 9, 21, 3], list(range(4, 40))):
+        want, _ = target.generate([list(prompt)], max_gen_len=16,
+                                  temperature=0.0)
+        got = spec.generate([list(prompt)], max_gen_len=16, temperature=0.0)
+        assert got == want, prompt[:4]
+    base = [4 + (i % 90) for i in range(70)]
+    prompts = [base + [100, 101], base + [102]]
+    want = target.generate_with_prefix_cache(
+        [list(p) for p in prompts], max_gen_len=8, temperature=0.0
+    )
+    got = spec.generate_with_prefix_cache(
+        [list(p) for p in prompts], max_gen_len=8, temperature=0.0
+    )
+    assert got == want
+
+
+def test_self_draft_full_depth_accepts_nearly_all(target):
+    """n_layers == the target's full depth makes the draft the target
+    itself: greedy acceptance ~1 (the real-draft-cost ceiling — the
+    single-token draft path and the k-token verify forward may diverge
+    only on numerical near-ties)."""
+    from prego_tpu.models.llama.speculative import self_draft
+
+    d_params, d_cfg = self_draft(
+        target.params, target.config, target.config.n_layers
+    )
+    spec = SpeculativeLlama(target, d_params, d_cfg, k=4)
+    prompt = [5, 9, 21, 3]
+    want, _ = target.generate([list(prompt)], max_gen_len=24, temperature=0.0)
+    got = spec.generate([list(prompt)], max_gen_len=24, temperature=0.0)
+    assert got == want
+    drafted = spec.rounds * 4
+    assert spec.drafts_accepted >= 0.8 * (drafted - 4), (
+        spec.drafts_accepted, drafted,
+    )
+
+
+def test_self_draft_depth_bounds(target):
+    from prego_tpu.models.llama.speculative import self_draft
+
+    for bad in (0, target.config.n_layers + 1):
+        with pytest.raises(ValueError):
+            self_draft(target.params, target.config, bad)
 
 
 def test_sampled_preserves_target_distribution(target, draft):
