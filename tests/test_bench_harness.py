@@ -40,6 +40,30 @@ def test_extras_parse_child_json(monkeypatch):
         assert extras[f"{prefix}_pct_of_floor"] == 61.0
 
 
+def test_extras_parse_spec_decode_row(monkeypatch):
+    """Speculative-decode rows carry their own in-child baseline: the
+    attested keys are tok/s + speedup_vs_plain + acceptance, not the
+    serving-burst or ms/step shapes."""
+    row = {"case": "spec_decode_7b_oracle_k4", "value": 310.0,
+           "unit": "tok/s (b1 greedy)", "ms_per_token": 3.2,
+           "baseline_tok_s": 96.0, "speedup_vs_plain": 3.23,
+           "acceptance_rate": 1.0, "rounds": 33.0, "k": 4}
+
+    def fake_run(cmd, **kw):
+        return _Proc(0, stdout=json.dumps(row))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(
+        bench, "LLM_EXTRAS", (("spec_decode_7b_oracle_k4", "sp", 60),)
+    )
+    extras = bench._collect_llm_extras(weather_clean=True)
+    assert extras == {
+        "sp_tok_s": 310.0,
+        "sp_speedup_vs_plain": 3.23,
+        "sp_acceptance": 1.0,
+    }
+
+
 def test_extras_failure_drops_keys_never_raises(monkeypatch):
     calls = []
 
