@@ -216,6 +216,16 @@ def main(argv: Optional[List[str]] = None):
             f"prefix cache: rebuilds={llm.llama.prefix_rebuilds} "
             f"extends={llm.llama.prefix_extends}"
         )
+        spec = getattr(llm, "_spec", None)
+        if spec is not None and spec.drafts_proposed:
+            # acceptance = accepted-draft fraction; the run's realized
+            # speculation quality (random/fabricated drafts sit near 0)
+            logger.info(
+                f"speculation: rounds={spec.rounds} "
+                f"accepted={spec.drafts_accepted}/{spec.drafts_proposed} "
+                f"acceptance="
+                f"{spec.drafts_accepted / spec.drafts_proposed:.3f}"
+            )
     if result.metrics is not None:
         m = result.metrics
         print(

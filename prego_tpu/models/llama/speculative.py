@@ -129,9 +129,11 @@ def _spec_generate_body(
     #                cache already holding [0, start_offset)
     d_cache=None,
     start_offset: jax.Array = None,  # scalar int32 absolute pos of prompt[:, 0]
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (out_buf (B, out_buf_len), n_emitted (B,), rounds,
-    accepted)."""
+    accepted, proposed). ``accepted/proposed`` is the realized
+    acceptance rate (``proposed`` counts k per ACTIVE row per round —
+    rows freeze at different times, so rounds*k*B overcounts)."""
     B = prompt.shape[0]
     if start_offset is None:
         start_offset = jnp.int32(0)
@@ -172,12 +174,12 @@ def _spec_generate_body(
         )
 
     def cond(state):
-        pos, _, _, _, _, n_emitted, done, _, _, _ = state
+        pos, _, _, _, _, n_emitted, done, _, _, _, _ = state
         return jnp.any(active_rows(pos, n_emitted, done))
 
     def body(state):
         (pos, cur_tok, t_cache, d_cache, out_buf, n_emitted, done, key,
-         rounds, accepted) = state
+         rounds, accepted, proposed) = state
         active = active_rows(pos, n_emitted, done)
         key, dkey, vkey, ckey = jax.random.split(key, 4)
 
@@ -243,16 +245,18 @@ def _spec_generate_body(
             pos + n_new, cur_tok, t_cache, d_cache, out_buf,
             n_emitted + n_new, done | (got_eos & active), key,
             rounds + 1, accepted + jnp.sum(jnp.where(active, a, 0)),
+            proposed + k * jnp.sum(active.astype(jnp.int32)),
         )
 
     state = (
         pos0, cur0, t_cache, d_cache, out_buf,
         jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool), key,
-        jnp.int32(0), jnp.int32(0),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, out_buf, n_emitted, _, _, rounds, accepted = state
-    return out_buf, n_emitted, rounds, accepted
+    (_, _, _, _, out_buf, n_emitted, _, _, rounds, accepted,
+     proposed) = state
+    return out_buf, n_emitted, rounds, accepted, proposed
 
 
 _SPEC_STATICS = (
@@ -379,6 +383,7 @@ class SpeculativeLlama:
         # observability (host-mirrored after each generate)
         self.rounds = 0
         self.drafts_accepted = 0
+        self.drafts_proposed = 0  # k per ACTIVE row per round
 
     def generate(
         self,
@@ -432,7 +437,7 @@ class SpeculativeLlama:
             oracle = None
 
         self._key, key = jax.random.split(self._key)
-        out, n, rounds, accepted = _spec_generate_jit(
+        out, n, rounds, accepted, proposed = _spec_generate_jit(
             self.target.params,
             self.draft_params if oracle is None else None,
             jnp.asarray(buf),
@@ -449,9 +454,12 @@ class SpeculativeLlama:
             eos_id=int(tok.eos_id),
             kv_quant=self.target.kv_quant,
         )
-        out, n, rounds, accepted = jax.device_get((out, n, rounds, accepted))
+        out, n, rounds, accepted, proposed = jax.device_get(
+            (out, n, rounds, accepted, proposed)
+        )
         self.rounds += int(rounds)
         self.drafts_accepted += int(accepted)
+        self.drafts_proposed += int(proposed)
         results = []
         for i in range(bsz):
             toks = out[i].tolist()[: min(int(n[i]), max_gen_len)]
@@ -522,7 +530,7 @@ class SpeculativeLlama:
         out_buf_len = _round_up(max_gen_len + self.k, self.pad_to_multiple)
 
         self._key, key = jax.random.split(self._key)
-        out, n, rounds, accepted = _spec_from_prefix_jit(
+        out, n, rounds, accepted, proposed = _spec_from_prefix_jit(
             target.params,
             self.draft_params,
             jnp.asarray(buf),
@@ -542,9 +550,12 @@ class SpeculativeLlama:
             kv_quant=target.kv_quant,
             batch=bsz,
         )
-        out, n, rounds, accepted = jax.device_get((out, n, rounds, accepted))
+        out, n, rounds, accepted, proposed = jax.device_get(
+            (out, n, rounds, accepted, proposed)
+        )
         self.rounds += int(rounds)
         self.drafts_accepted += int(accepted)
+        self.drafts_proposed += int(proposed)
         results = []
         for i in range(bsz):
             toks = out[i].tolist()[: min(int(n[i]), max_gen_len)]

@@ -622,7 +622,7 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
     greedy_match = sum(
         1 for x, y in zip(got[0], want[0]) if x == y
     ) / n_cmp
-    spec.rounds = spec.drafts_accepted = 0
+    spec.rounds = spec.drafts_accepted = spec.drafts_proposed = 0
     t0 = time.perf_counter()
     for _ in range(reps):
         out_s = spec.generate([list(prompt)], max_gen_len=gen_len,
@@ -630,7 +630,7 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
     spec_dt = (time.perf_counter() - t0) / reps
     n_spec = max(len(out_s[0]), 1)
     rounds = spec.rounds / reps
-    acc = spec.drafts_accepted / max(spec.rounds * k, 1)
+    acc = spec.drafts_accepted / max(spec.drafts_proposed, 1)
     return {
         "case": case,
         "value": round(n_spec / spec_dt, 1),
