@@ -423,7 +423,9 @@ class JaxLlamaLLM:
             jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
         )
         if quantize:
-            params = init_params_quantized(cfg, jax.random.PRNGKey(0), fused=True)
+            params = init_params_quantized(
+                cfg, jax.random.PRNGKey(0), fused=True, dtype=dtype
+            )
         else:
             params = fuse_projections(
                 init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)

@@ -293,20 +293,40 @@ def mark_xla_dense(params: Params) -> Params:
     return walk(params)
 
 
-def _q8_dense_backend() -> str:
-    """Backend for int8 dense projections on TPU: "pallas" (default, the
-    dequantizing Pallas matmul) or "xla" (the dequant-fused jnp.dot the
-    tensor-parallel path uses).  PREGO_Q8_DENSE=xla forces the XLA path
-    single-chip — the untried lever against the b8 matmul-core gap
-    (RESULTS.md pins ~1.24 ms/step of per-pallas-call launch overhead at
-    7B b8; one XLA module has no such per-op launches, but XLA may
-    instead hoist the int8->bf16 convert out of the decode while_loop
-    and materialize bf16 weights, which at 7B would not fit the chip).
-    Measured on chip before any default change, per the gate table in
-    CLAUDE.md."""
-    import os
+_Q8_DENSE_WARNED = False
 
-    return "xla" if os.environ.get("PREGO_Q8_DENSE") == "xla" else "pallas"
+
+def _q8_dense_backend(shape=None) -> str:
+    """Backend for int8 dense projections on TPU: the dequantizing
+    Pallas matmul ("pallas") or the dequant-fused jnp.dot the
+    tensor-parallel path uses ("xla").  PREGO_Q8_DENSE forces either;
+    an unparsable value warns once and falls through to the shape
+    default (the ADVICE-r3 pattern — a typo must not silently change
+    behavior).  Shape default: "xla" when the projection's min dim is
+    >= 4096 — the measured regime (r4d/r4e A/B/A on chip: 7B b1 9.93 vs
+    10.32/10.52, 7B b8+kv8 11.70 vs 12.22/12.26, 13B b1 19.59 vs 20.05;
+    the 1B shapes measured flat-to-worse, and XLA does NOT hoist a bf16
+    weight copy out of the decode loop at 7B — it fits and runs).  The
+    ~129 per-pallas-call launches/step (~10 µs each) were the b8
+    matmul-core gap RESULTS.md pinned; one fused XLA module has none."""
+    import os
+    import sys
+
+    env = os.environ.get("PREGO_Q8_DENSE")
+    if env in ("xla", "pallas"):
+        return env
+    if env:
+        global _Q8_DENSE_WARNED
+        if not _Q8_DENSE_WARNED:
+            _Q8_DENSE_WARNED = True
+            print(
+                f"prego_tpu: ignoring unparsable PREGO_Q8_DENSE={env!r} "
+                "(expected 'xla' or 'pallas'); using the shape default",
+                file=sys.stderr,
+            )
+    if shape is not None and min(shape) >= 4096:
+        return "xla"
+    return "pallas"
 
 
 def _dense(x: jax.Array, leaf) -> jax.Array:
@@ -327,10 +347,16 @@ def _dense(x: jax.Array, leaf) -> jax.Array:
 
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
+        # weight-only projections take the shape-aware backend default;
+        # the int8x8 activation path stays pallas unless env-forced (its
+        # XLA route is the int32-dot reference, unmeasured at scale)
+        backend = _q8_dense_backend(
+            leaf["q"].shape if "act" not in leaf else None
+        )
         on_tpu = (
             jax.default_backend() == "tpu"
             and "xla" not in leaf
-            and _q8_dense_backend() != "xla"
+            and backend != "xla"
         )
         if "act" in leaf:  # int8 x int8 -> int32 MXU path
             xq, xs = quantize_activations(x2)

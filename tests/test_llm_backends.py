@@ -261,6 +261,22 @@ def test_spec_backend_drives_anticipation_with_context_reuse():
     assert llm_s._spec._draft_llama.prefix_rebuilds == 2
 
 
+def test_jax_llama_fabricated_quantized_runs_on_cpu():
+    """--fabricated --quantize must run off-TPU too (the int8 tree's
+    embedding/norm leaves follow the platform dtype — bf16 leaves break
+    the CPU dot thunk; regression found driving the CLI)."""
+    from prego_tpu.anticipation.llm import JaxLlamaLLM
+
+    llm = JaxLlamaLLM(
+        None, None, fabricated="tiny", max_seq_len=128, quantize=True,
+        kv_quant=True,
+    )
+    out = llm.text_completion(
+        ["Sequence: 1, 2\nNext:\n"], max_gen_len=4, temperature=0.0
+    )
+    assert len(out) == 1 and "generation" in out[0]
+
+
 def test_jax_llama_fabricated_tiny_drives_cli(tmp_path):
     """--fabricated runs the real driver with random weights at a named
     shape (timing demonstrations; no checkpoint assets needed)."""

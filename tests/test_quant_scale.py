@@ -91,11 +91,23 @@ def test_q8_dense_backend_env_gate(monkeypatch):
     from prego_tpu.models.llama.model import _q8_dense_backend
 
     monkeypatch.delenv("PREGO_Q8_DENSE", raising=False)
-    assert _q8_dense_backend() == "pallas"
+    assert _q8_dense_backend() == "pallas"  # no shape info -> pallas
+    # shape-aware default: xla at the measured >=4096 regime (7B/13B
+    # projections), pallas below (1B and smaller)
+    assert _q8_dense_backend((4096, 12288)) == "xla"
+    assert _q8_dense_backend((11008, 4096)) == "xla"
+    assert _q8_dense_backend((2048, 11008)) == "pallas"
+    # an unparsable value falls through to the shape default (warn, not
+    # silently flip — the ADVICE-r3 pattern)
     monkeypatch.setenv("PREGO_Q8_DENSE", "bogus")
     assert _q8_dense_backend() == "pallas"
+    assert _q8_dense_backend((4096, 12288)) == "xla"
     monkeypatch.setenv("PREGO_Q8_DENSE", "xla")
     assert _q8_dense_backend() == "xla"
+    assert _q8_dense_backend((2048, 11008)) == "xla"
+    monkeypatch.setenv("PREGO_Q8_DENSE", "pallas")
+    assert _q8_dense_backend((4096, 12288)) == "pallas"
+    monkeypatch.setenv("PREGO_Q8_DENSE", "xla")
 
     cfg = LlamaConfig(
         dim=64, n_layers=2, n_heads=4, n_kv_heads=4, vocab_size=128,
