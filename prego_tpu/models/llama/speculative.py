@@ -19,10 +19,16 @@ TPU-first design decisions:
   beyond the accepted prefix are therefore unreachable garbage that the
   next round overwrites: cache "rollback" is just not advancing ``pos``.
 * **One jitted while_loop.** Draft steps (a lax.scan of k single-token
-  decodes, which use the fast S=1 decode kernels), the (B, k) target
+  decodes, which use the fast S=1 decode kernels), the (B, k+1) target
   verify forward, acceptance, and the output scatter all live inside a
   single jit — zero host round-trips per round, same structure as
   generation.py::_generate_body.
+* **Bonus token.** The verify feeds all k drafts plus the current token
+  (k+1 positions), so a fully-accepted round emits k+1 tokens: the k
+  drafts AND the target's own next token at position pos+k+1 — the
+  standard Leviathan emission, free because the verify forward is
+  weight-stream-bound and the (B, k+1)th column costs no extra pass.
+  Every round emits exactly a+1 tokens (a = accepted drafts, 0..k).
 * **Batched, per-row.** Every row accepts a different prefix length per
   round, so rows advance at different rates — exactly the continuous-
   batching regime: per-row cache positions/bounds (model.py::forward's
@@ -85,7 +91,14 @@ def _draft_scan(
     """k single-token draft decodes (per-row positions). Returns
     (drafts (B, k), q_dists (k, B, V), updated draft cache). drafts[:, i]
     proposes for position pos+i+1; q_dists[i] is the processed
-    distribution it was drawn from (zeros in greedy mode — unused)."""
+    distribution it was drawn from (zeros in greedy mode — unused).
+
+    The scan runs k+1 steps and DISCARDS the last proposal: step k feeds
+    drafts[k-1] at position pos+k, writing the draft-cache key a fully-
+    accepted bonus round needs (pos advances by k+1 there; without this
+    write the next round's draft attends a garbage key at its pos-1 and
+    acceptance collapses — caught by the full-depth self-draft test).
+    One extra draft forward per round, ~1/k of the (cheap) draft cost."""
 
     def step(carry, i):
         tok, cache, ky = carry
@@ -103,9 +116,9 @@ def _draft_scan(
         return (nxt, cache, ky), (nxt, q)
 
     (_, d_cache, _), (drafts, q_dists) = jax.lax.scan(
-        step, (cur_tok, d_cache, key), jnp.arange(k, dtype=jnp.int32)
+        step, (cur_tok, d_cache, key), jnp.arange(k + 1, dtype=jnp.int32)
     )
-    return drafts.T, q_dists, d_cache  # (B, k), (k, B, V)
+    return drafts[:k].T, q_dists[:k], d_cache  # (B, k), (k, B, V)
 
 
 def _spec_generate_body(
@@ -114,7 +127,7 @@ def _spec_generate_body(
     prompt: jax.Array,  # (B, Pbuf) int32, pad-filled — SUFFIX coords when
     #                     resuming from cached prefixes (start_offset > 0)
     prompt_len: jax.Array,  # (B,) int32 >= 1, suffix coords
-    out_budget: jax.Array,  # scalar int32 <= out_buf_len - k
+    out_budget: jax.Array,  # scalar int32 <= out_buf_len - (k+1)
     key: jax.Array,
     oracle: Optional[jax.Array],  # (B, L) int32 absolute-position replay
     config: LlamaConfig,
@@ -163,14 +176,15 @@ def _spec_generate_body(
     pos0 = start_offset + prompt_len - 1  # (B,) absolute
     cur0 = jax.vmap(lambda row, i: row[i])(prompt, prompt_len - 1)  # (B,)
     out_buf = jnp.zeros((B, out_buf_len), jnp.int32)
-    arange_k = jnp.arange(k, dtype=jnp.int32)
+    arange_k1 = jnp.arange(k + 1, dtype=jnp.int32)
     rows = jnp.arange(B)
 
     def active_rows(pos, n_emitted, done):
+        # the verify writes keys at pos..pos+k (k drafts + bonus column)
         return (
             ~done
             & (n_emitted < out_budget)
-            & (pos + k <= config.max_seq_len)
+            & (pos + k + 1 <= config.max_seq_len)
         )
 
     def cond(state):
@@ -195,42 +209,58 @@ def _spec_generate_body(
                 draft_config, k, temperature, top_p,
             )
 
-        # ---- verify: ONE (B, k) target forward at per-row pos ----
-        fed = jnp.concatenate([cur_tok[:, None], drafts[:, :-1]], axis=1)
+        # ---- verify: ONE (B, k+1) target forward at per-row pos ----
+        # feeding cur_tok + ALL k drafts yields k+1 distributions — the
+        # k acceptance checks plus the BONUS column for pos+k+1, so a
+        # fully-accepted round emits k+1 tokens (see module docstring)
+        fed = jnp.concatenate([cur_tok[:, None], drafts], axis=1)
         t_logits, t_cache = forward(
             target_params, fed, pos, t_cache, config, t_rope
-        )  # (B, k, V); [:, i] is the target dist for pos+i+1
+        )  # (B, k+1, V); [:, i] is the target dist for pos+i+1
 
-        # ---- acceptance (per row) ----
+        # ---- acceptance (per row): a in 0..k drafts, emit a+1 tokens ----
         if temperature > 0:
             p_dists = processed_probs(
-                t_logits.reshape(B * k, -1), temperature, top_p
-            ).reshape(B, k, -1)
+                t_logits.reshape(B * (k + 1), -1), temperature, top_p
+            ).reshape(B, k + 1, -1)
             q_bkv = jnp.swapaxes(q_dists, 0, 1)  # (B, k, V)
-            pd = jnp.take_along_axis(p_dists, drafts[..., None], axis=-1)[..., 0]
+            pd = jnp.take_along_axis(
+                p_dists[:, :k], drafts[..., None], axis=-1
+            )[..., 0]
             qd = jnp.take_along_axis(q_bkv, drafts[..., None], axis=-1)[..., 0]
             u = jax.random.uniform(vkey, (B, k))
             acc = u * qd <= pd  # accept w.p. min(1, p/q), div-free form
             a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1)
-            ra = jnp.minimum(a, k - 1)  # (B,)
-            p_ra = p_dists[rows, ra]  # (B, V)
-            resid = jnp.maximum(p_ra - q_bkv[rows, ra], 0.0)
+            # correction at index a: leftover-resample norm(max(p-q, 0));
+            # a == k means all drafts accepted — q is zero there (no
+            # proposal for the bonus column) so resid == p: the bonus is
+            # drawn straight from the target, the exact Leviathan rule
+            q_pad = jnp.concatenate(
+                [q_bkv, jnp.zeros_like(q_bkv[:, :1])], axis=1
+            )  # (B, k+1, V)
+            p_ra = p_dists[rows, a]  # (B, V)
+            resid = jnp.maximum(p_ra - q_pad[rows, a], 0.0)
             rs = jnp.sum(resid, axis=-1, keepdims=True)
             resid = jnp.where(rs > 1e-9, resid / jnp.maximum(rs, 1e-30), p_ra)
             corr = jax.random.categorical(ckey, jnp.log(resid)).astype(jnp.int32)
         else:
-            t_hat = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # (B, k)
-            match = drafts == t_hat
+            t_hat = jnp.argmax(t_logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+            match = drafts == t_hat[:, :k]
             a = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-            corr = t_hat[rows, jnp.minimum(a, k - 1)]  # (B,)
+            corr = t_hat[rows, a]  # (B,) — the bonus token when a == k
 
-        n_new = jnp.where(a == k, k, a + 1)  # (B,)
-        emit = jnp.where(arange_k[None] < a[:, None], drafts, corr[:, None])
+        n_new = a + 1  # (B,) in 1..k+1
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros_like(drafts[:, :1])], axis=1
+        )  # (B, k+1); the pad column is never selected (i=k needs a>k)
+        emit = jnp.where(
+            arange_k1[None] < a[:, None], drafts_pad, corr[:, None]
+        )
 
         # eos inside the round: truncate each row to include its first eos
-        hit = (emit == eos_id) & (arange_k[None] < n_new[:, None])
-        eos_at = jnp.min(jnp.where(hit, arange_k[None], k), axis=1)  # (B,)
-        got_eos = eos_at < k
+        hit = (emit == eos_id) & (arange_k1[None] < n_new[:, None])
+        eos_at = jnp.min(jnp.where(hit, arange_k1[None], k + 1), axis=1)
+        got_eos = eos_at < k + 1
         n_new = jnp.where(got_eos, eos_at + 1, n_new)
         n_new = jnp.where(active, n_new, 0)  # frozen rows emit nothing
 
@@ -426,7 +456,7 @@ class SpeculativeLlama:
         buf = np.full((bsz, p_buf), tok.pad_id, np.int32)
         for i, t in enumerate(prompt_tokens):
             buf[i, : len(t)] = np.asarray(t, np.int32)
-        out_buf_len = _round_up(max_gen_len + self.k, self.pad_to_multiple)
+        out_buf_len = _round_up(max_gen_len + self.k + 1, self.pad_to_multiple)
 
         if oracle_tokens is not None:
             o = np.full((bsz, cfg.max_seq_len + self.k), tok.pad_id, np.int32)
@@ -527,7 +557,7 @@ class SpeculativeLlama:
         buf = np.full((bsz, s_buf), tok.pad_id, np.int32)
         for i, s in enumerate(suffixes):
             buf[i, : len(s)] = np.asarray(s, np.int32)
-        out_buf_len = _round_up(max_gen_len + self.k, self.pad_to_multiple)
+        out_buf_len = _round_up(max_gen_len + self.k + 1, self.pad_to_multiple)
 
         self._key, key = jax.random.split(self._key)
         out, n, rounds, accepted, proposed = _spec_from_prefix_jit(
