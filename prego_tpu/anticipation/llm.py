@@ -17,6 +17,8 @@ stripped, matching Llama.text_completion output.
 
 from __future__ import annotations
 
+import os
+import sys
 from typing import Callable, Dict, List, Optional, Protocol
 
 from prego_tpu.core.registry import LLMS
@@ -224,6 +226,28 @@ class JaxLlamaLLM:
         self._spec_k = int(spec_k)
         self._spec_draft = spec_draft
         self._spec = None  # built lazily (needs self.llama)
+        # production guard: once enough proposals have accumulated, a
+        # realized acceptance below break-even means speculation is
+        # SLOWING the run (the measured k=4 endpoints put break-even at
+        # acceptance ~0.26 for a 1B-class draft, RESULTS.md) — fall back
+        # to the plain path for the rest of the run instead of silently
+        # paying the draft tax. Threshold defaults to 1/k (conservative:
+        # cheaper drafts break even lower); PREGO_SPEC_MIN_ACCEPT
+        # overrides, 0 disables the guard.
+        self._spec_disabled = False
+        env = os.environ.get("PREGO_SPEC_MIN_ACCEPT")
+        try:
+            self._spec_min_accept = (
+                float(env) if env is not None
+                else (1.0 / spec_k if spec_k else 0.0)
+            )
+        except ValueError:
+            print(
+                f"prego_tpu: ignoring unparsable PREGO_SPEC_MIN_ACCEPT="
+                f"{env!r}; using 1/k",
+                file=sys.stderr,
+            )
+            self._spec_min_accept = 1.0 / spec_k if spec_k else 0.0
         if fabricated is not None:
             self._init_fabricated(
                 fabricated, max_seq_len, max_batch_size, quantize, kv_quant
@@ -525,11 +549,34 @@ class JaxLlamaLLM:
                 toks, max_gen_len, temperature=temperature, top_p=top_p
             )
             return [{"generation": self.llama.tokenizer.decode(t)} for t in outs]
-        if self._spec_k:
-            return self._speculator().text_completion(
+        if self._spec_k and not self._spec_disabled:
+            spec = self._speculator()
+            out = spec.text_completion(
                 prompts, temperature=temperature, top_p=top_p,
                 max_gen_len=max_gen_len, use_prefix_cache=self.prefix_cache,
             )
+            # auto-off guard: judge acceptance only once the sample is
+            # meaningful (>= 256 proposals — the hermetic driver tests
+            # stay under the bar and keep speculating)
+            if (
+                self._spec_min_accept > 0
+                and spec.drafts_proposed >= 256
+                and spec.drafts_accepted
+                < self._spec_min_accept * spec.drafts_proposed
+            ):
+                self._spec_disabled = True
+                print(
+                    "prego_tpu: speculative decoding auto-disabled — "
+                    f"acceptance {spec.drafts_accepted}/"
+                    f"{spec.drafts_proposed} = "
+                    f"{spec.drafts_accepted / spec.drafts_proposed:.3f} "
+                    f"is below break-even "
+                    f"(~{self._spec_min_accept:.2f} at k="
+                    f"{self._spec_k}); continuing on the plain path "
+                    "(PREGO_SPEC_MIN_ACCEPT=0 disables this guard)",
+                    file=sys.stderr,
+                )
+            return out
         return self.llama.text_completion(
             prompts, temperature=temperature, top_p=top_p,
             max_gen_len=max_gen_len, use_prefix_cache=self.prefix_cache,

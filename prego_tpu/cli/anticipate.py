@@ -220,11 +220,16 @@ def main(argv: Optional[List[str]] = None):
         if spec is not None and spec.drafts_proposed:
             # acceptance = accepted-draft fraction; the run's realized
             # speculation quality (random/fabricated drafts sit near 0)
+            suffix = (
+                " (auto-disabled below break-even mid-run)"
+                if getattr(llm, "_spec_disabled", False) else ""
+            )
             logger.info(
                 f"speculation: rounds={spec.rounds} "
                 f"accepted={spec.drafts_accepted}/{spec.drafts_proposed} "
                 f"acceptance="
                 f"{spec.drafts_accepted / spec.drafts_proposed:.3f}"
+                f"{suffix}"
             )
     if result.metrics is not None:
         m = result.metrics
