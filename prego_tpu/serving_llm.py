@@ -374,9 +374,17 @@ class ContinuousBatcher:
             base = (
                 prefix_cache if prefix_cache is not None else jnp.int32(0)
             )
+            # the padded suffix buffer must fit the remaining cache window:
+            # an unclamped bucket past max_seq_len makes the in-jit
+            # dynamic_update_slice clamp its start BACKWARD, silently
+            # overwriting real prefix KV with wrong-RoPE-position rows
+            # (reachable with fully valid requests — the request validation
+            # in serve() only bounds the REAL suffix, not its bucket)
+            window = self.config.max_seq_len - plen
+            assert all(len(s) <= window for _, s in rows)
             if len(rows) == 1:
                 slot, suffix = rows[0]
-                buf = _bucket(len(suffix)) if suffix else 0
+                buf = min(_bucket(len(suffix)), window) if suffix else 0
                 padded = np.zeros((1, buf), np.int32)
                 padded[0, : len(suffix)] = suffix
                 cache = _admit_row(
@@ -386,7 +394,7 @@ class ContinuousBatcher:
                 )
             else:
                 longest = max(len(s) for _, s in rows)
-                buf = _bucket(longest) if longest else 0
+                buf = min(_bucket(longest), window) if longest else 0
                 padded = np.zeros((len(rows), buf), np.int32)
                 for i, (_, s) in enumerate(rows):
                     padded[i, : len(s)] = s

@@ -216,6 +216,34 @@ def test_prefix_sharing_off_matches_on(llama_long):
     assert a == b
 
 
+def test_long_suffix_admission_does_not_clobber_prefix():
+    """ADVICE r4 (high): a suffix whose BUCKET overruns max_seq_len used
+    to clamp the dynamic_update_slice start backward, silently overwriting
+    real prefix KV with misaligned suffix KV.  Reproduces the reported
+    shape (max_seq_len 256, registered prefix 64, 130-token tail: suffix
+    129 buckets to 256 > 192 remaining) and requires exact greedy parity
+    with the solo oracle."""
+    cfg = _cfg(slots=2, max_seq_len=256)
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    llama = Llama(params, ByteTokenizer(), cfg)
+    rng = np.random.default_rng(19)
+    ctx = rng.integers(4, 250, 70).tolist()  # aligns to the 64-token grid
+    cb = ContinuousBatcher(llama, slots=2, chunk=4, temperature=0.0)
+    assert cb.register_prefix(ctx) == 64
+    reqs = [
+        Request(uid=i,
+                prompt=ctx[:64] + rng.integers(4, 250, 130).tolist(),
+                max_gen_len=8)
+        for i in range(3)  # 1 row -> _admit_row; 2 sharing -> batched path
+    ]
+    done, stats = cb.serve(reqs)
+    assert stats.prefix_hits == 3
+    by_uid = {c.uid: c.tokens for c in done}
+    for r in reqs:
+        want = _greedy_oracle(llama, r.prompt, r.max_gen_len)
+        assert by_uid[r.uid] == want, r.uid
+
+
 def test_cache_reuse_across_serve_calls(llama):
     """The batcher reuses its slot cache between serve() calls; stale rows
     from the previous burst must never leak into a later request."""
