@@ -76,6 +76,33 @@ from prego_tpu.models.llama.model import (
 from prego_tpu.ops.sampling import processed_probs
 
 
+def _cache_spare(config: LlamaConfig, k: int) -> int:
+    """Spare tail region on the cache T axis for the speculative path.
+
+    While ANY row is active the (B, k+1) verify forward runs for EVERY
+    row, including rows frozen at the window boundary (pos + k + 1 >
+    max_seq_len): without spare rows their k+1-wide cache write would
+    clamp its start BACKWARD (dynamic_update_slice semantics) and corrupt
+    real KV the plain-decode tail then attends.  With the spare region
+    the frozen row's writes land past max_seq_len in positions no query
+    ever attends (attention is masked by absolute position <= pos <=
+    max_seq_len - 1).  256 preserves the bounded decode kernels'
+    T % t_block divisibility (the flash path requires max_seq_len % 256
+    == 0 anyway); the einsum path (CPU / odd shapes) needs only k + 1."""
+    return 256 if config.max_seq_len % 256 == 0 else k + 1
+
+
+def _pad_cache_T(cache, spare: int):
+    """Zero-pad every cache leaf's T axis (axis 2 for both the KV arrays
+    and the int8-scale leaves — init_cache layout) by ``spare``."""
+    return jax.tree.map(
+        lambda x: jnp.pad(
+            x, [(0, 0), (0, 0), (0, spare)] + [(0, 0)] * (x.ndim - 3)
+        ),
+        cache,
+    )
+
+
 def _draft_scan(
     draft_params: Params,
     cur_tok: jax.Array,  # (B,) int32 — token at ``pos``, not yet fed
@@ -151,9 +178,14 @@ def _spec_generate_body(
     if start_offset is None:
         start_offset = jnp.int32(0)
     t_rope = precompute_rope(config)
+    spare = _cache_spare(config, k)
     if t_cache is None:
-        t_cache = init_cache(
-            config, B, dtype=target_params["norm"].dtype, quantized=kv_quant
+        t_cache = _pad_cache_T(
+            init_cache(
+                config, B, dtype=target_params["norm"].dtype,
+                quantized=kv_quant,
+            ),
+            spare,
         )
     # cache-only prefill of both models (logits unneeded: the first
     # verify re-feeds each row's last prompt token). Padded-tail garbage
@@ -163,8 +195,9 @@ def _spec_generate_body(
     if oracle is None:
         d_rope = precompute_rope(draft_config)
         if d_cache is None:
-            d_cache = init_cache(
-                draft_config, B, dtype=draft_params["norm"].dtype
+            d_cache = _pad_cache_T(
+                init_cache(draft_config, B, dtype=draft_params["norm"].dtype),
+                _cache_spare(draft_config, k),
             )
         _, d_cache = forward(
             draft_params, prompt, start_offset, d_cache, draft_config, d_rope
@@ -180,7 +213,10 @@ def _spec_generate_body(
     rows = jnp.arange(B)
 
     def active_rows(pos, n_emitted, done):
-        # the verify writes keys at pos..pos+k (k drafts + bonus column)
+        # the verify writes keys at pos..pos+k (k drafts + bonus column);
+        # rows frozen here near the window boundary are FINISHED by the
+        # plain-decode tail loop below (ADVICE r4: freezing alone emitted
+        # up to k-1 fewer tokens than plain decoding near the boundary)
         return (
             ~done
             & (n_emitted < out_budget)
@@ -284,8 +320,47 @@ def _spec_generate_body(
         jnp.int32(0), jnp.int32(0), jnp.int32(0),
     )
     state = jax.lax.while_loop(cond, body, state)
-    (_, _, _, _, out_buf, n_emitted, _, _, rounds, accepted,
-     proposed) = state
+    (pos, cur_tok, t_cache, _, out_buf, n_emitted, done, key, rounds,
+     accepted, proposed) = state
+
+    # ---- plain single-token tail: rows the speculative loop froze at the
+    # window boundary (pos + k + 1 > max_seq_len, up to k-1 tokens short)
+    # finish with ordinary decode so output is IDENTICAL to plain greedy
+    # everywhere, including at the context edge (ADVICE r4).  Runs 0
+    # iterations for rows that retired by budget/eos; pos stays within
+    # the window by the same arithmetic as plain generate (prompt + budget
+    # <= max_seq_len ==> the last fed position is <= max_seq_len - 1).
+    def tail_cond(st):
+        _, _, _, _, n_emitted, done, _ = st
+        return jnp.any(~done & (n_emitted < out_budget))
+
+    def tail_body(st):
+        pos, cur_tok, t_cache, out_buf, n_emitted, done, key = st
+        active = ~done & (n_emitted < out_budget)
+        logits, t_cache = forward(
+            target_params, cur_tok[:, None], pos, t_cache, config, t_rope
+        )
+        l = logits[:, 0]
+        if temperature > 0:
+            key, sub = jax.random.split(key)
+            p = processed_probs(l, temperature, top_p)
+            nxt = jax.random.categorical(sub, jnp.log(p)).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(l, axis=-1).astype(jnp.int32)
+        out_buf = jax.vmap(
+            lambda buf, e, off: jax.lax.dynamic_update_slice(buf, e, (off,))
+        )(out_buf, nxt[:, None], n_emitted)  # inactive rows scribble past
+        #                                       their final cut — never read
+        n_emitted = n_emitted + active.astype(jnp.int32)
+        pos = pos + active.astype(jnp.int32)
+        done = done | (active & (nxt == eos_id))
+        cur_tok = jnp.where(active, nxt, cur_tok)
+        return pos, cur_tok, t_cache, out_buf, n_emitted, done, key
+
+    _, _, _, out_buf, n_emitted, _, _ = jax.lax.while_loop(
+        tail_cond, tail_body, (pos, cur_tok, t_cache, out_buf, n_emitted,
+                               done, key)
+    )
     return out_buf, n_emitted, rounds, accepted, proposed
 
 
@@ -324,9 +399,17 @@ def _spec_from_prefix_jit(
     their cached B=1 prefix KV (broadcast to the request batch INSIDE the
     jit — the host-side per-leaf repeat costs one dispatch per cache leaf,
     generation.py:153-177), prefill only the novel suffix, then run
-    speculative rounds."""
-    t_cache = jax.tree.map(lambda x: jnp.repeat(x, batch, axis=0), t_prefix)
-    d_cache = jax.tree.map(lambda x: jnp.repeat(x, batch, axis=0), d_prefix)
+    speculative rounds.  The LRU prefix caches are allocated at
+    max_seq_len, so the broadcast copies also append the speculative
+    spare-tail region (_cache_spare)."""
+    t_cache = _pad_cache_T(
+        jax.tree.map(lambda x: jnp.repeat(x, batch, axis=0), t_prefix),
+        _cache_spare(config, k),
+    )
+    d_cache = _pad_cache_T(
+        jax.tree.map(lambda x: jnp.repeat(x, batch, axis=0), d_prefix),
+        _cache_spare(draft_config, k),
+    )
     return _spec_generate_body(
         target_params, draft_params, suffix, suffix_len, out_budget, key,
         None, config, draft_config, k, out_buf_len, temperature, top_p,

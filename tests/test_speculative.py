@@ -59,6 +59,32 @@ def test_greedy_equals_plain_for_any_draft(target, draft, k):
         assert got == want, (k, prompt[:4])
 
 
+@pytest.mark.parametrize("k", [2, 4])
+def test_window_boundary_emits_full_budget(target, draft, k):
+    """ADVICE r4 (medium): a request whose prompt + max_gen_len fills the
+    context must emit exactly as many tokens as plain greedy decoding —
+    the speculative loop freezes rows once pos + k + 1 > max_seq_len and
+    the plain-decode tail must finish the last <= k tokens."""
+    cfg = target.config
+    d_params, d_cfg = draft
+    spec = SpeculativeLlama(target, d_params, d_cfg, k=k)
+    rng = np.random.default_rng(31)
+    for plen in (cfg.max_seq_len - 44, cfg.max_seq_len - 7):
+        prompt = rng.integers(4, 250, plen).tolist()
+        budget = cfg.max_seq_len - plen  # fills the window exactly
+        want, _ = target.generate([list(prompt)], max_gen_len=budget,
+                                  temperature=0.0)
+        got = spec.generate([list(prompt)], max_gen_len=budget,
+                            temperature=0.0)
+        assert got == want, (k, plen, len(got[0]), len(want[0]))
+        # mixed-batch variant: one boundary row + one short row
+        want2, _ = target.generate([list(prompt), [5, 9]],
+                                   max_gen_len=budget, temperature=0.0)
+        got2 = spec.generate([list(prompt), [5, 9]], max_gen_len=budget,
+                             temperature=0.0)
+        assert got2 == want2, (k, plen)
+
+
 def test_greedy_oracle_replay_full_acceptance(target):
     """Replaying the target's own greedy continuation as the draft must
     accept everything: same tokens, ~gen/k rounds, acceptance == 1."""
