@@ -90,8 +90,7 @@ def _check_npy_shape(path: str, dim: int, rep: Report, asset: str) -> Optional[i
 
 
 def validate_features(
-    manifest: Dict, features_root: Optional[str], dataset: str,
-    rep: Report, dry_run: bool,
+    manifest: Dict, features_root: Optional[str], dataset: str, rep: Report,
 ) -> None:
     spec = manifest["features"][dataset]
     if not features_root or not osp.isdir(features_root):
@@ -217,11 +216,82 @@ def validate_checkpoint(
             f"{match}: {len(shards)} shard(s) (TP world size)")
 
 
+def validate_draft_checkpoint(
+    manifest: Dict, draft_dir: Optional[str], rep: Report, record: bool,
+) -> None:
+    """``--spec_draft <ckpt_dir>`` contract (speculative decoding): a
+    Meta-format DRAFT checkpoint — params.json with its own (smaller)
+    dims, consolidated shards = its TP world size.  Any dim is valid a
+    priori (the draft only has to share the target's vocabulary, asserted
+    at load — models/llama/speculative.py::SpeculativeLlama); dims and
+    shard digests are pinned on first contact via --record so the asset
+    is validated the day it exists."""
+    import glob
+
+    spec = manifest.get("draft_checkpoint")
+    if spec is None:
+        return
+    if not draft_dir:
+        pinned = (
+            f"pinned {spec['dim']}d/{spec['n_layers']}L"
+            if spec.get("dim") else "unpinned"
+        )
+        rep.add(
+            "draft checkpoint", "skipped",
+            f"no --draft_ckpt_dir; would check params.json ({pinned}) + "
+            "consolidated.NN.pth shard digests for --spec_draft <ckpt_dir>",
+        )
+        return
+    if not osp.isdir(draft_dir):
+        rep.add("draft checkpoint", "missing", draft_dir)
+        return
+    pj = osp.join(draft_dir, "params.json")
+    if not osp.exists(pj):
+        rep.add("draft checkpoint", "FAIL", f"no params.json in {draft_dir}")
+        return
+    with open(pj) as f:
+        params = json.load(f)
+    dim, n_layers = params.get("dim"), params.get("n_layers")
+    if not isinstance(dim, int) or not isinstance(n_layers, int):
+        rep.add("draft checkpoint", "FAIL",
+                f"params.json dims unreadable: dim={dim} n_layers={n_layers}")
+        return
+    shards = sorted(glob.glob(osp.join(draft_dir, "consolidated.*.pth")))
+    if not shards:
+        rep.add("draft checkpoint", "FAIL", "no consolidated.*.pth shards")
+        return
+    if record:
+        spec["dim"], spec["n_layers"] = dim, n_layers
+        spec["expected_shards"] = len(shards)
+        spec["shard_sha256_first_mb"] = [
+            _sha256(s, limit=1 << 20) for s in shards
+        ]
+    if spec.get("dim") is not None and (dim, n_layers) != (
+        spec["dim"], spec["n_layers"]
+    ):
+        rep.add("draft checkpoint", "FAIL",
+                f"dims {dim}/{n_layers} != pinned "
+                f"{spec['dim']}/{spec['n_layers']}")
+        return
+    pinned = spec.get("shard_sha256_first_mb")
+    if pinned:
+        got = [_sha256(s, limit=1 << 20) for s in shards]
+        if got != pinned:
+            rep.add("draft checkpoint", "FAIL",
+                    "shard digests differ from pinned")
+            return
+    rep.add("draft checkpoint", "ok",
+            f"dim {dim}, {n_layers} layers, {len(shards)} shard(s)")
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--manifest", required=True)
     p.add_argument("--features_root", default=None)
     p.add_argument("--ckpt_dir", default=None)
+    p.add_argument("--draft_ckpt_dir", default=None,
+                   help="speculative-decoding draft checkpoint "
+                        "(--spec_draft <ckpt_dir>)")
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--dataset", default="assembly101-O",
                    choices=["assembly101-O", "epic-tent-O"])
@@ -242,9 +312,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
 
     rep = Report()
-    validate_features(manifest, args.features_root, args.dataset, rep, args.dry_run)
+    validate_features(manifest, args.features_root, args.dataset, rep)
     validate_tokenizer(manifest, args.tokenizer_path, rep, args.record)
     validate_checkpoint(manifest, args.ckpt_dir, rep, args.record)
+    validate_draft_checkpoint(manifest, args.draft_ckpt_dir, rep, args.record)
 
     if args.record:
         with open(args.manifest, "w") as f:
@@ -253,7 +324,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if rep.failures:
         print(f"{len(rep.failures)} FAILURES", file=sys.stderr)
-        return 1
+        if args.dry_run:  # documented contract: dry-run always exits 0
+            print("(dry-run: reported, not fatal)", file=sys.stderr)
+        else:
+            return 1
     if rep.missing and not args.dry_run:
         print(f"{len(rep.missing)} assets missing (strict mode)", file=sys.stderr)
         return 1

@@ -15,6 +15,12 @@
 #   WORKDIR        output workspace                           [regression_out]
 #   LLM            fake | hf | jax-llama                      [fake]
 #   CKPT_DIR, TOKENIZER   required when LLM=jax-llama
+#   SPEC_K         optional: speculative decoding with k-token drafts
+#                  (LLM=jax-llama only); SPEC_DRAFT selects the draft
+#                  (self-N | fabricated-1b | a Meta ckpt dir), defaults
+#                  to DRAFT_CKPT_DIR when that is set
+#   DRAFT_CKPT_DIR optional real draft checkpoint — validated against
+#                  the manifest's draft_checkpoint contract in step 0
 #
 # `--dry-run` validates the expected-asset MANIFEST (paths + shape
 # contracts + pinned digests, configs/real_assets_manifest.json) against
@@ -34,6 +40,7 @@ if [ "${1:-}" = "--dry-run" ]; then
     --dataset "$DATASET" \
     --features_root "${FEATURES_ROOT:-}" \
     --ckpt_dir "${CKPT_DIR:-}" \
+    --draft_ckpt_dir "${DRAFT_CKPT_DIR:-}" \
     --tokenizer_path "${TOKENIZER:-}" \
     --dry-run
 fi
@@ -57,6 +64,7 @@ python -m prego_tpu.cli.asset_manifest \
   --dataset "$DATASET" \
   --features_root "$FEATURES_ROOT" \
   --ckpt_dir "${CKPT_DIR:-}" \
+  --draft_ckpt_dir "${DRAFT_CKPT_DIR:-}" \
   --tokenizer_path "${TOKENIZER:-}"
 
 echo "== 1/6 import reference data assets =="
@@ -105,6 +113,10 @@ if [ "$LLM" = "jax-llama" ]; then
   ANT_ARGS+=(--ckpt_dir "${CKPT_DIR:?}" --tokenizer_path "${TOKENIZER:?}"
              --num_samples 5 --max_gen_len 8 --max_seq_len 2048
              --type_prompt emoji)
+  if [ -n "${SPEC_K:-}" ]; then
+    ANT_ARGS+=(--spec_k "$SPEC_K"
+               --spec_draft "${SPEC_DRAFT:-${DRAFT_CKPT_DIR:?set SPEC_DRAFT or DRAFT_CKPT_DIR with SPEC_K}}")
+  fi
 fi
 python -m prego_tpu.cli.anticipate "${ANT_ARGS[@]}"
 

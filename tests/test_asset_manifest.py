@@ -105,6 +105,58 @@ def test_checkpoint_validation_and_record_pins_digests(tmp_path, capsys):
     assert main(["--manifest", str(man_path), "--ckpt_dir", str(ckpt)]) == 1
 
 
+def test_dry_run_exit_0_even_with_fail_rows(synth_epictent_tree, capsys):
+    """ADVICE r4 (low): --dry-run documents 'always exit 0' — a partially
+    present asset with a bad shape must be REPORTED but not fatal in
+    dry-run mode (strict mode still fails on it)."""
+    man_path, root = synth_epictent_tree
+    np.save(osp.join(root, "rgb_anet_resnet50", "v_b.npy"),
+            np.zeros((10, 1024), np.float32))
+    rc = main(["--manifest", man_path, "--dataset", "epic-tent-O",
+               "--features_root", root, "--dry-run"])
+    out = capsys.readouterr()
+    assert rc == 0
+    assert "FAIL" in out.out  # still reported
+    rc = main(["--manifest", man_path, "--dataset", "epic-tent-O",
+               "--features_root", root])
+    assert rc == 1  # strict unchanged
+
+
+def test_draft_checkpoint_contract(tmp_path, capsys):
+    """VERDICT r4 #8: the --spec_draft <ckpt_dir> asset is validated the
+    day it exists — record pins dims + shard digests, tamper fails."""
+    torch = pytest.importorskip("torch")
+    man = json.loads(open(MANIFEST).read())
+    assert "draft_checkpoint" in man  # shipped manifest declares it
+    man_path = tmp_path / "manifest.json"
+    man_path.write_text(json.dumps(man))
+    # skipped row advertises the contract when nothing is mounted
+    rc = main(["--manifest", str(man_path), "--dry-run"])
+    assert rc == 0
+    assert "--spec_draft" in capsys.readouterr().out
+    # synthetic tiny Meta-format draft dir
+    draft = tmp_path / "draft"
+    draft.mkdir()
+    (draft / "params.json").write_text(json.dumps(
+        {"dim": 32, "n_layers": 1, "n_heads": 2, "norm_eps": 1e-5,
+         "vocab_size": -1}
+    ))
+    torch.save({"w": torch.zeros(3)}, draft / "consolidated.00.pth")
+    args = ["--manifest", str(man_path), "--dry-run",
+            "--draft_ckpt_dir", str(draft)]
+    assert main(args + ["--record"]) == 0
+    pinned = json.loads(man_path.read_text())["draft_checkpoint"]
+    assert pinned["dim"] == 32 and pinned["shard_sha256_first_mb"]
+    assert main(args) == 0  # unchanged revalidates
+    torch.save({"w": torch.ones(4)}, draft / "consolidated.00.pth")
+    rc = main(["--manifest", str(man_path), "--draft_ckpt_dir", str(draft)])
+    assert rc == 1  # tampered shard fails strict
+    # dims drifting from the pinned contract fail too
+    (draft / "params.json").write_text(json.dumps({"dim": 64, "n_layers": 2}))
+    assert main(["--manifest", str(man_path),
+                 "--draft_ckpt_dir", str(draft)]) == 1
+
+
 def test_regression_script_dry_run_green():
     import subprocess
     import sys
