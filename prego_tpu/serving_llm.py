@@ -25,7 +25,19 @@ requests enter and leave mid-flight:
   - the host syncs on ONE fetch per chunk (the emitted-token block);
     slot liveness/budgets are mirrored host-side from the emissions, so
     no device state ever round-trips back (the tunnel charges ~ms per
-    blocking fetch and the v1 loop paid six of them per chunk).
+    blocking fetch and the v1 loop paid six of them per chunk);
+  - SHORT suffixes ride the decode scan itself (PIGGYBACK admission,
+    round 5): instead of a dedicated prefill forward — one full weight
+    stream during which every live slot idles — the admitted row feeds
+    its pending prompt tokens one per decode step, sharing the weight
+    stream the chunk already pays (decode at serving batches is
+    weight-streaming-bound, so the extra row's token is ~free).
+    Admission then costs only the prefix-KV row copy (a scatter, no
+    forward).  Break-even: piggyback loses ~L emission-steps on ONE
+    slot; a dedicated prefill loses ~S tokens (all slots stall one
+    weight stream) plus a dispatch round-trip — so suffixes up to
+    ~4*slots ride the scan (PREGO_CB_PIGGYBACK overrides; 0 disables)
+    and longer ones keep the dedicated prefill path.
 
 Utilization therefore tracks offered load instead of worst-of-batch
 latency, and admission cost tracks the NOVEL tokens of each request
@@ -79,7 +91,8 @@ class ServeStats:
     prefills: int = 0  # admissions
     prefix_hits: int = 0  # admissions that reused a cached KV prefix
     prefix_tokens_reused: int = 0  # prompt tokens NOT re-prefilled
-    suffix_tokens_prefilled: int = 0  # prompt tokens actually prefilled
+    suffix_tokens_prefilled: int = 0  # prompt tokens through DEDICATED prefill
+    suffix_tokens_piggybacked: int = 0  # prompt tokens fed via the decode scan
     wall_s: float = 0.0
 
     @property
@@ -191,14 +204,24 @@ def _admit_rows_shared_prefix(
 
 
 @jax.jit
-def _apply_admissions(tok, pos, live, remaining, new_tok, new_pos, new_rem, mask):
+def _apply_admissions(
+    tok, pos, live, remaining, pend, pend_idx, pend_rem,
+    new_tok, new_pos, new_rem, new_pend, new_prem, mask,
+):
     """Merge this round's admissions into the device-resident slot state
-    (one host->device transfer of four S-vectors, no fetch back)."""
+    (one host->device transfer, no fetch back).  ``pend``/``pend_rem``
+    are each slot's queue of not-yet-fed prompt tokens: every admission
+    enqueues at least its LAST prompt token (rem == 1 reproduces the
+    classic admission — the first decode feed); piggybacked admissions
+    enqueue their whole novel suffix."""
     tok = jnp.where(mask, new_tok, tok)
     pos = jnp.where(mask, new_pos, pos)
     remaining = jnp.where(mask, new_rem, remaining)
+    pend = jnp.where(mask[:, None], new_pend, pend)
+    pend_idx = jnp.where(mask, 0, pend_idx)
+    pend_rem = jnp.where(mask, new_prem, pend_rem)
     live = live | mask
-    return tok, pos, live, remaining
+    return tok, pos, live, remaining, pend, pend_idx, pend_rem
 
 
 @functools.partial(
@@ -207,34 +230,56 @@ def _apply_admissions(tok, pos, live, remaining, new_tok, new_pos, new_rem, mask
     donate_argnames=("cache",),
 )
 def _decode_chunk(
-    params, rope, cache, tok, pos, live, remaining, key,
+    params, rope, cache, tok, pos, live, remaining, pend, pend_idx,
+    pend_rem, key,
     *, config, chunk: int, temperature: float, top_p: float, eos_id: int,
 ):
     """``chunk`` lockstep decode steps over all S slots; per-row
     positions and bounds throughout.  Dead rows feed token 0 at a frozen
     position (their stale cache rows sit beyond every live row's valid
     bound and are overwritten by the next admission or by the row's own
-    advancing writes before ever becoming visible)."""
+    advancing writes before ever becoming visible).
+
+    Rows with ``pend_rem > 0`` are still PREFILLING: they feed their next
+    pending prompt token instead of a sampled one and emit PAD — riding
+    the weight stream the decode step already pays (piggyback admission).
+    The step that feeds a row's LAST pending token (rem == 1) yields its
+    first sampled emission, exactly the classic last-prompt-token feed."""
 
     def step(carry, _):
-        tok, pos, live, remaining, cache, key = carry
-        logits, cache = forward(params, tok[:, None], pos, cache, config, rope)
+        tok, pos, live, remaining, pend, pend_idx, pend_rem, cache, key = carry
+        prefilling = pend_rem > 0
+        queued = jax.vmap(lambda row, i: row[i])(pend, pend_idx)
+        feed = jnp.where(live, jnp.where(prefilling, queued, tok), 0)
+        logits, cache = forward(params, feed[:, None], pos, cache, config, rope)
         key, sub = jax.random.split(key)
         nxt = sample_next_token(
             logits[:, 0].astype(jnp.float32), sub, temperature, top_p
         )
-        emit = jnp.where(live, nxt, PAD_EMIT)
-        finished_now = live & ((nxt == eos_id) | (remaining <= 1))
+        emitting = live & (pend_rem <= 1)  # rem==1: last prompt token fed
+        emit = jnp.where(emitting, nxt, PAD_EMIT)
+        finished_now = emitting & ((nxt == eos_id) | (remaining <= 1))
         pos = jnp.where(live, pos + 1, pos)
-        remaining = jnp.where(live, remaining - 1, remaining)
+        remaining = jnp.where(emitting, remaining - 1, remaining)
+        pend_idx = jnp.where(
+            live & prefilling,
+            jnp.minimum(pend_idx + 1, pend.shape[1] - 1),
+            pend_idx,
+        )
+        pend_rem = jnp.where(live & prefilling, pend_rem - 1, pend_rem)
         live = live & ~finished_now
-        feed = jnp.where(live, nxt, 0)
-        return (feed, pos, live, remaining, cache, key), emit
+        tok = jnp.where(live & emitting, nxt, tok)
+        return (tok, pos, live, remaining, pend, pend_idx, pend_rem, cache,
+                key), emit
 
-    (tok, pos, live, remaining, cache, key), emits = jax.lax.scan(
-        step, (tok, pos, live, remaining, cache, key), None, length=chunk
+    (tok, pos, live, remaining, pend, pend_idx, pend_rem, cache, key), emits = (
+        jax.lax.scan(
+            step,
+            (tok, pos, live, remaining, pend, pend_idx, pend_rem, cache, key),
+            None, length=chunk,
+        )
     )
-    return tok, pos, live, remaining, cache, key, emits
+    return tok, pos, live, remaining, pend, pend_idx, pend_rem, cache, key, emits
 
 
 def _bucket(n: int, chunk: int = 64) -> int:
@@ -279,6 +324,7 @@ class ContinuousBatcher:
         seed: int = 1,
         prefix_sharing: bool = True,
         overlap_fetch: Optional[bool] = None,
+        piggyback_max_suffix: Optional[int] = None,
     ):
         self.llama = llama
         self.config: LlamaConfig = llama.config
@@ -288,6 +334,19 @@ class ContinuousBatcher:
         self.temperature = float(temperature)
         self.top_p = float(top_p)
         self.prefix_sharing = prefix_sharing
+        # Piggyback-admission threshold: novel suffixes up to this many
+        # tokens (incl. the last prompt token) are fed THROUGH the decode
+        # scan instead of a dedicated prefill forward (see module
+        # docstring for the ~4*slots break-even).  0 disables (every
+        # admission prefills); the pending buffer is a static shape, so
+        # the threshold is fixed per batcher (one compile signature).
+        if piggyback_max_suffix is None:
+            env = os.environ.get("PREGO_CB_PIGGYBACK")
+            piggyback_max_suffix = (
+                int(env) if env is not None else 4 * self.slots
+            )
+        # >= 1: every admission enqueues at least its last prompt token
+        self.pend_buf = max(int(piggyback_max_suffix), 1)
         # Pipeline the per-chunk emits fetch behind the NEXT chunk's
         # execution: the host processes chunk N-1's emissions while the
         # device runs chunk N. Hides one transfer round-trip per chunk —
@@ -343,32 +402,68 @@ class ContinuousBatcher:
 
     # --------------------------------------------------------- admission
 
-    def _admit_batch(self, cache: Cache, assignments, stats: ServeStats) -> Cache:
-        """Write each (slot, request)'s prompt KV into its slot rows:
-        cached prefix copied, suffix (prompt[:-1] past the prefix)
-        prefilled.  Requests sharing the same cached prefix admit in ONE
-        batched dispatch (one weight stream for the whole group — the
-        per-dispatch weight read dominates admission cost at 7B).  The
-        last prompt token is NOT prefilled — it is the slot's first
-        decode feed, so its forward yields the first sampling logits
-        (same trick as generation.py's suffix handling)."""
+    def _admit_batch(self, cache: Cache, assignments, stats: ServeStats):
+        """Write each (slot, request)'s prompt KV into its slot rows and
+        decide how the novel tokens reach the model.  Returns
+        ``(cache, pend_info)`` with ``pend_info[slot] = (feed_tokens,
+        start_pos)`` — the slot's pending-token queue for the decode scan.
+
+        PIGGYBACK admissions (novel suffix <= pend_buf): only the cached
+        prefix rows are copied (a scatter, NO forward — grouped per
+        prefix into one dispatch); the whole suffix feeds through the
+        decode scan one token per step, riding the weight stream the
+        chunk already pays.  DEDICATED admissions prefill the suffix
+        body in one forward as before (requests sharing a prefix batch
+        into ONE dispatch = one weight stream), and enqueue only the
+        last prompt token — the classic first decode feed whose forward
+        yields the first sampling logits (generation.py's suffix trick)."""
         groups: Dict[object, List] = {}
+        copy_groups: Dict[object, List] = {}
+        pend_info: Dict[int, Tuple[List[int], int]] = {}
         for slot, r in assignments:
             body = list(r.prompt[:-1])
             plen, prefix_cache = self._lookup_prefix(body)
-            suffix = body[plen:]
             stats.prefills += 1
             if plen:
                 stats.prefix_hits += 1
                 stats.prefix_tokens_reused += plen
+            feed = list(r.prompt[plen:])  # novel tokens incl. the last
+            if len(feed) <= self.pend_buf:
+                stats.suffix_tokens_piggybacked += len(feed) - 1
+                pend_info[slot] = (feed, plen)
+                if prefix_cache is not None:
+                    key = (plen, id(prefix_cache))
+                    copy_groups.setdefault(key, [prefix_cache, []])[1].append(
+                        slot
+                    )
+                # no cached prefix: the slot decodes from position plen=0
+                # and only ever attends positions it wrote itself, so the
+                # stale row needs no clearing
+                continue
+            suffix = body[plen:]
             stats.suffix_tokens_prefilled += len(suffix)
+            pend_info[slot] = ([r.prompt[-1]], len(r.prompt) - 1)
             if not suffix and prefix_cache is None:
-                # single-token prompt, nothing cached: the slot decodes
-                # from position 0 and only ever attends positions it
-                # wrote itself, so the stale row needs no clearing
                 continue
             key = (plen, id(prefix_cache) if prefix_cache is not None else None)
             groups.setdefault(key, [prefix_cache, []])[1].append((slot, suffix))
+
+        for (plen, _), (prefix_cache, pslots) in copy_groups.items():
+            # prefix-KV row copies in ONE dispatch per shared prefix (the
+            # empty suffix skips the forward inside the admission jits)
+            if len(pslots) == 1:
+                cache = _admit_row(
+                    self.params, self._rope, prefix_cache,
+                    jnp.zeros((1, 0), jnp.int32), jnp.int32(plen), cache,
+                    jnp.int32(pslots[0]), config=self.config,
+                )
+            else:
+                cache = _admit_rows_shared_prefix(
+                    self.params, self._rope, prefix_cache,
+                    jnp.zeros((len(pslots), 0), jnp.int32), jnp.int32(plen),
+                    cache, jnp.asarray(pslots, jnp.int32),
+                    config=self.config, batch=len(pslots),
+                )
 
         for (plen, _), (prefix_cache, rows) in groups.items():
             base = (
@@ -404,7 +499,7 @@ class ContinuousBatcher:
                     jnp.asarray([s for s, _ in rows], jnp.int32),
                     config=self.config, batch=len(rows),
                 )
-        return cache
+        return cache, pend_info
 
     # ------------------------------------------------------------- loop
 
@@ -440,6 +535,9 @@ class ContinuousBatcher:
         pos = jnp.zeros((S,), jnp.int32)
         live = jnp.zeros((S,), bool)
         remaining = jnp.zeros((S,), jnp.int32)
+        pend = jnp.zeros((S, self.pend_buf), jnp.int32)
+        pend_idx = jnp.zeros((S,), jnp.int32)
+        pend_rem = jnp.zeros((S,), jnp.int32)
 
         pending = list(requests)
         slots: Dict[int, _Slot] = {}  # host mirror of live slots
@@ -484,41 +582,49 @@ class ContinuousBatcher:
             # ---- admit into free slots (cache rows scatter in place; the
             # decode batch stalls only for the admitted suffix prefills)
             if pending:
-                adm_tok = np.zeros((S,), np.int32)
-                adm_pos = np.zeros((S,), np.int32)
-                adm_rem = np.zeros((S,), np.int32)
-                adm_mask = np.zeros((S,), bool)
-                admitted = False
                 assignments = []
                 for s in range(S):
                     if s not in slots and pending:
                         r = pending.pop(0)
                         assignments.append((s, r))
-                        adm_tok[s] = r.prompt[-1]
-                        adm_pos[s] = len(r.prompt) - 1
-                        adm_rem[s] = r.max_gen_len
-                        adm_mask[s] = True
                         slots[s] = _Slot(
                             req=r, remaining=r.max_gen_len,
                             admit_step=step_idx,
                             admit_wall=time.perf_counter(),
                         )
-                        admitted = True
                 if assignments:
-                    cache = self._admit_batch(cache, assignments, stats)
-                if admitted:
-                    tok, pos, live, remaining = _apply_admissions(
-                        tok, pos, live, remaining,
+                    cache, pend_info = self._admit_batch(
+                        cache, assignments, stats
+                    )
+                    adm_tok = np.zeros((S,), np.int32)
+                    adm_pos = np.zeros((S,), np.int32)
+                    adm_rem = np.zeros((S,), np.int32)
+                    adm_mask = np.zeros((S,), bool)
+                    adm_pend = np.zeros((S, self.pend_buf), np.int32)
+                    adm_prem = np.zeros((S,), np.int32)
+                    for s, r in assignments:
+                        feed, start = pend_info[s]
+                        adm_pend[s, : len(feed)] = feed
+                        adm_prem[s] = len(feed)
+                        adm_pos[s] = start
+                        adm_rem[s] = r.max_gen_len
+                        adm_mask[s] = True
+                    (tok, pos, live, remaining, pend, pend_idx,
+                     pend_rem) = _apply_admissions(
+                        tok, pos, live, remaining, pend, pend_idx, pend_rem,
                         jnp.asarray(adm_tok), jnp.asarray(adm_pos),
-                        jnp.asarray(adm_rem), jnp.asarray(adm_mask),
+                        jnp.asarray(adm_rem), jnp.asarray(adm_pend),
+                        jnp.asarray(adm_prem), jnp.asarray(adm_mask),
                     )
 
             # ---- one jitted chunk of lockstep decode (cache donated);
             # skipped when only the trailing in-flight fetch remains
             emits = None
             if pending or slots:
-                tok, pos, live, remaining, cache, self._key, emits = _decode_chunk(
+                (tok, pos, live, remaining, pend, pend_idx, pend_rem, cache,
+                 self._key, emits) = _decode_chunk(
                     self.params, self._rope, cache, tok, pos, live, remaining,
+                    pend, pend_idx, pend_rem,
                     self._key, config=cfg, chunk=self.chunk,
                     temperature=temperature, top_p=top_p,
                     eos_id=self._eos_id,

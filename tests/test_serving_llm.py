@@ -337,6 +337,82 @@ def test_prefix_sharing_with_kv_quant_batched_admission():
         assert by_uid[r.uid] == want[0].tokens, r.uid
 
 
+# ------------------------------------------------ piggyback admission
+
+
+def test_piggyback_on_off_parity_and_accounting(llama_long):
+    """Piggyback admission (suffix fed through the decode scan) must be a
+    pure optimization: identical greedy output vs dedicated prefill, with
+    the suffix-token accounting split between the two routes."""
+    rng = np.random.default_rng(43)
+    ctx = rng.integers(4, 250, 128).tolist()  # aligns exactly to the grid
+    reqs = [
+        Request(uid=i, prompt=ctx + rng.integers(4, 250, 4 + 3 * i).tolist(),
+                max_gen_len=6)
+        for i in range(5)
+    ]
+    piggy = ContinuousBatcher(llama_long, slots=2, chunk=4, temperature=0.0)
+    assert piggy.pend_buf == 8  # 4 * slots default
+    piggy.register_prefix(ctx)
+    done_p, stats_p = piggy.serve([Request(**vars(r)) for r in reqs])
+    dedicated = ContinuousBatcher(
+        llama_long, slots=2, chunk=4, temperature=0.0, piggyback_max_suffix=0
+    )
+    dedicated.register_prefix(ctx)
+    done_d, stats_d = dedicated.serve([Request(**vars(r)) for r in reqs])
+    assert {c.uid: c.tokens for c in done_p} == {
+        c.uid: c.tokens for c in done_d
+    }
+    # novel feeds past the 128-token prefix: 4,7,10,13,16 tokens —
+    # uid 0/1 fit the 8-token queue, uid 2-4 exceed it -> dedicated
+    assert stats_p.suffix_tokens_piggybacked == 3 + 6
+    assert stats_p.suffix_tokens_prefilled == 9 + 12 + 15
+    assert stats_d.suffix_tokens_piggybacked == 0
+    assert (
+        stats_p.suffix_tokens_piggybacked + stats_p.suffix_tokens_prefilled
+        == stats_d.suffix_tokens_prefilled
+    )
+    # both routes still reuse the cached prefix
+    assert stats_p.prefix_hits == stats_d.prefix_hits == 5
+    # solo-oracle parity for every request on the piggyback leg
+    by_uid = {c.uid: c.tokens for c in done_p}
+    for r in reqs:
+        assert by_uid[r.uid] == _greedy_oracle(
+            llama_long, r.prompt, r.max_gen_len
+        ), r.uid
+
+
+def test_piggyback_env_override(llama, monkeypatch):
+    monkeypatch.setenv("PREGO_CB_PIGGYBACK", "0")
+    cb = ContinuousBatcher(llama, slots=4)
+    assert cb.pend_buf == 1  # clamped: the last-token feed always queues
+    monkeypatch.setenv("PREGO_CB_PIGGYBACK", "23")
+    assert ContinuousBatcher(llama, slots=4).pend_buf == 23
+    monkeypatch.delenv("PREGO_CB_PIGGYBACK")
+    assert ContinuousBatcher(llama, slots=4).pend_buf == 16
+    assert ContinuousBatcher(
+        llama, slots=4, piggyback_max_suffix=7
+    ).pend_buf == 7
+
+
+def test_piggyback_without_prefix_matches_oracle(llama):
+    """Short prompts with NO cached prefix ride the scan end-to-end (zero
+    admission dispatches) and must still match the solo oracle."""
+    rng = np.random.default_rng(47)
+    reqs = [
+        Request(uid=i, prompt=rng.integers(4, 250, rng.integers(1, 15)).tolist(),
+                max_gen_len=int(rng.integers(1, 10)))
+        for i in range(7)
+    ]
+    cb = ContinuousBatcher(llama, slots=3, chunk=4, temperature=0.0,
+                           piggyback_max_suffix=16)
+    done, stats = cb.serve(reqs)
+    assert stats.suffix_tokens_prefilled == 0  # everything piggybacked
+    by_uid = {c.uid: c.tokens for c in done}
+    for r in reqs:
+        assert by_uid[r.uid] == _greedy_oracle(llama, r.prompt, r.max_gen_len)
+
+
 def test_sampled_mode_matches_per_request_distribution(llama):
     """VERDICT r3 #6: temperature>0 through the slot loop must draw from
     the same per-step distributions as per-request generation.  Compare
