@@ -172,27 +172,100 @@ def run_llm_child(case: str):
     import json as _json
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
-    from bench_llm import CASES
+    from bench_llm import CASES, _weather_probe
 
-    print(_json.dumps(CASES[case](False)))
+    weather = _weather_probe()  # fixed-reference index BEFORE the case body
+    row = CASES[case](False)
+    if isinstance(row, dict):
+        row["weather_ms"] = weather
+    print(_json.dumps(row))
+
+
+def _run_llm_case(case: str, timeout_s: float):
+    """One capped child run of a bench_llm case; returns the parsed row
+    dict or None."""
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--llm-child", case],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            timeout=timeout_s,
+            text=True,
+            env={**os.environ, "PREGO_LLM_CHILD_TIMEOUT": str(timeout_s)},
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("{")), None
+        )
+        if proc.returncode == 0 and line:
+            print(
+                f"bench: LLM extra {case} ok in {time.time() - t0:.0f}s: {line}",
+                file=sys.stderr,
+            )
+            return json.loads(line)
+        print(
+            f"bench: LLM extra {case} rc={proc.returncode}; stderr tail: "
+            + " | ".join(proc.stderr.splitlines()[-2:]),
+            file=sys.stderr,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: LLM extra {case} timed out after {timeout_s}s",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — extras must never kill the bench
+        print(f"bench: LLM extra {case} failed: {e}", file=sys.stderr)
+    return None
+
+
+def _extras_from_row(prefix: str, row: dict) -> dict:
+    extras = {}
+    if "speedup_vs_plain" in row:  # speculative-decode rows
+        extras[f"{prefix}_tok_s"] = row["value"]
+        extras[f"{prefix}_speedup_vs_plain"] = row["speedup_vs_plain"]
+        extras[f"{prefix}_acceptance"] = row["acceptance_rate"]
+        if "spread_pct" in row:
+            extras[f"{prefix}_spread_pct"] = row["spread_pct"]
+    elif "tok/s" in row.get("unit", ""):  # serving-burst rows
+        extras[f"{prefix}_useful_tok_s"] = row["value"]
+        if "prefix_hits" in row:
+            extras[f"{prefix}_prefix_hits"] = row["prefix_hits"]
+        if "slot_utilization" in row:
+            extras[f"{prefix}_slot_util"] = row["slot_utilization"]
+    else:
+        extras[f"{prefix}_ms_per_step"] = row["value"]
+    if "tok_per_s" in row:
+        extras[f"{prefix}_tok_s"] = row["tok_per_s"]
+    if "pct_of_floor" in row:
+        extras[f"{prefix}_pct_of_floor"] = row["pct_of_floor"]
+    if "weather_ms" in row:
+        extras[f"{prefix}_weather_ms"] = row["weather_ms"]
+    return extras
 
 
 def _collect_llm_extras(weather_clean: bool) -> dict:
     """Run each serving case in a capped child process; any miss is
     silently dropped (reported on stderr only). Skipped entirely when the
     recognition capture itself needed retries (tunnel bad weather) or
-    PREGO_BENCH_LLM=0."""
+    PREGO_BENCH_LLM=0.
+
+    WEATHER SENTINEL (VERDICT r4 #1): every child probes a fixed
+    transport-RTT reference before its case body and reports it as
+    weather_ms.  After the first pass, any case whose weather index sits
+    >1.5x the session median gets ONE re-run (budget permitting) and the
+    better-weather reading wins — a per-case tunnel slow patch no longer
+    poisons the attested line silently (BENCH_r04's 14.5-vs-10.81 7B b1
+    self-contradiction)."""
     if os.environ.get("PREGO_BENCH_LLM", "1") == "0":
         return {}
     if not weather_clean:
         print("bench: skipping LLM extras (tunnel weather)", file=sys.stderr)
         return {}
-    extras = {}
-    # global deadline across ALL extras (default 35 min — seven cases at
-    # the measured ~5 min/child; raised from 25 when the spec-decode row
-    # joined): the driver's capture window must never be consumed by
-    # serving-bench retries
-    deadline = time.time() + float(os.environ.get("PREGO_BENCH_LLM_BUDGET", "2100"))
+    # global deadline across ALL extras (default 40 min — seven cases at
+    # the measured ~5 min/child + weather re-run headroom): the driver's
+    # capture window must never be consumed by serving-bench retries
+    deadline = time.time() + float(os.environ.get("PREGO_BENCH_LLM_BUDGET", "2400"))
+    rows = {}  # case -> (prefix, row)
     for case, prefix, timeout_s in LLM_EXTRAS:
         if time.time() + timeout_s > deadline:
             print(
@@ -206,56 +279,9 @@ def _collect_llm_extras(weather_clean: bool) -> dict:
         # that a 30 s wait cures (observed with decode_7b_int8 right
         # after decode_b8).
         for attempt in (1, 2):
-            t0 = time.time()
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--llm-child", case],
-                    stdout=subprocess.PIPE,
-                    stderr=subprocess.PIPE,
-                    timeout=timeout_s,
-                    text=True,
-                    env={**os.environ, "PREGO_LLM_CHILD_TIMEOUT": str(timeout_s)},
-                )
-                line = next(
-                    (l for l in proc.stdout.splitlines() if l.startswith("{")), None
-                )
-                if proc.returncode == 0 and line:
-                    row = json.loads(line)
-                    if "speedup_vs_plain" in row:  # speculative-decode rows
-                        extras[f"{prefix}_tok_s"] = row["value"]
-                        extras[f"{prefix}_speedup_vs_plain"] = row["speedup_vs_plain"]
-                        extras[f"{prefix}_acceptance"] = row["acceptance_rate"]
-                    elif "tok/s" in row.get("unit", ""):  # serving-burst rows
-                        extras[f"{prefix}_useful_tok_s"] = row["value"]
-                        if "prefix_hits" in row:
-                            extras[f"{prefix}_prefix_hits"] = row["prefix_hits"]
-                        if "slot_utilization" in row:
-                            extras[f"{prefix}_slot_util"] = row["slot_utilization"]
-                    else:
-                        extras[f"{prefix}_ms_per_step"] = row["value"]
-                    if "tok_per_s" in row:
-                        extras[f"{prefix}_tok_s"] = row["tok_per_s"]
-                    if "pct_of_floor" in row:
-                        extras[f"{prefix}_pct_of_floor"] = row["pct_of_floor"]
-                    print(
-                        f"bench: LLM extra {case} ok in {time.time() - t0:.0f}s: {line}",
-                        file=sys.stderr,
-                    )
-                    break
-                print(
-                    f"bench: LLM extra {case} attempt {attempt} rc="
-                    f"{proc.returncode}; stderr tail: "
-                    + " | ".join(proc.stderr.splitlines()[-2:]),
-                    file=sys.stderr,
-                )
-            except subprocess.TimeoutExpired:
-                print(
-                    f"bench: LLM extra {case} attempt {attempt} timed out "
-                    f"after {timeout_s}s",
-                    file=sys.stderr,
-                )
-            except Exception as e:  # noqa: BLE001 — extras must never kill the bench
-                print(f"bench: LLM extra {case} failed: {e}", file=sys.stderr)
+            row = _run_llm_case(case, timeout_s)
+            if row is not None:
+                rows[case] = (prefix, row)
                 break
             if attempt == 1:
                 if time.time() + 30 + timeout_s > deadline:
@@ -266,6 +292,42 @@ def _collect_llm_extras(weather_clean: bool) -> dict:
                     )
                     break
                 time.sleep(30)
+
+    weathers = sorted(
+        r["weather_ms"] for _, r in rows.values() if "weather_ms" in r
+    )
+    if weathers:
+        median_w = weathers[len(weathers) // 2]
+        print(
+            f"bench: session weather median {median_w} ms over "
+            f"{len(weathers)} cases",
+            file=sys.stderr,
+        )
+        for case, prefix, timeout_s in LLM_EXTRAS:
+            if case not in rows:
+                continue
+            w = rows[case][1].get("weather_ms")
+            if w is None or w <= 1.5 * median_w:
+                continue
+            if time.time() + 30 + timeout_s > deadline:
+                print(
+                    f"bench: weather re-run of {case} skipped (budget)",
+                    file=sys.stderr,
+                )
+                continue
+            print(
+                f"bench: {case} weather {w} ms > 1.5x median {median_w} — "
+                "re-running once",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+            row2 = _run_llm_case(case, timeout_s)
+            if row2 is not None and row2.get("weather_ms", w) < w:
+                rows[case] = (prefix, row2)
+
+    extras = {}
+    for prefix, row in rows.values():
+        extras.update(_extras_from_row(prefix, row))
     return extras
 
 
