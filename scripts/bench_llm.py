@@ -694,6 +694,201 @@ def bench_spec_decode(tiny: bool, k: int = 8, draft: str = "oracle",
     }
 
 
+def bench_reconcile_7b_b1(tiny: bool, gen_len: int = 128):
+    """VERDICT r4 #1: BENCH_r04 recorded decode_7b_int8 at 14.5 ms/step
+    while the spec-decode case's plain baseline — the same config PLUS
+    int8-KV — read 10.81 ms in the same capture.  This case interleaves
+    the two configs in ONE process (shared int8 params, two Llama
+    wrappers differing only in kv_quant), A/B/A/B, so the pair is read
+    under identical weather: if they agree within the int8-KV b1 premium
+    (~+6-7%), the r4 contradiction was per-case weather, not a real
+    regression of the e2e path."""
+    if tiny:
+        return {"case": "reconcile_7b_b1", "skipped": "tiny"}
+    import jax
+    from prego_tpu.models.llama import ByteTokenizer, Llama, LlamaConfig
+    from prego_tpu.models.llama.model import init_params_quantized
+
+    s = _REF_SHAPES["7b"]
+    cfg = LlamaConfig(
+        dim=s["dim"], n_layers=s["n_layers"], n_heads=s["n_heads"],
+        n_kv_heads=s["n_heads"], vocab_size=32000, multiple_of=256,
+        norm_eps=1e-5, max_batch_size=1, max_seq_len=256,
+    )
+    params = init_params_quantized(cfg, jax.random.PRNGKey(0), fused=True)
+    tok = ByteTokenizer()
+    plain = Llama(params, tok, cfg)  # the decode_7b_int8 config
+    kv8 = Llama(params, tok, cfg, kv_quant=True)  # the spec-baseline config
+    rng = np.random.default_rng(0)
+    prompt = [rng.integers(4, 31999, 8).tolist()]
+    for llm in (plain, kv8):  # compile both signatures first
+        llm.generate([list(prompt[0])], max_gen_len=gen_len, temperature=0.0)
+    t_plain, t_kv8 = [], []
+    for _ in range(3):  # interleaved A/B rounds
+        t0 = time.perf_counter()
+        plain.generate([list(prompt[0])], max_gen_len=gen_len, temperature=0.0)
+        t_plain.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        kv8.generate([list(prompt[0])], max_gen_len=gen_len, temperature=0.0)
+        t_kv8.append(time.perf_counter() - t0)
+    ms = lambda ts: round(sorted(ts)[len(ts) // 2] / gen_len * 1e3, 2)  # noqa: E731
+    return {
+        "case": "reconcile_7b_b1",
+        "value": ms(t_plain),
+        "unit": "ms/step (decode_7b_int8 leg, median of 3 interleaved)",
+        "kv8_ms_per_step": ms(t_kv8),
+        "kv8_over_plain_pct": round(100 * (ms(t_kv8) / ms(t_plain) - 1), 1),
+        "plain_all": [round(t / gen_len * 1e3, 2) for t in t_plain],
+        "kv8_all": [round(t / gen_len * 1e3, 2) for t in t_kv8],
+    }
+
+
+def bench_anticipation_step_7b_spec(tiny: bool, draft: str = "self16",
+                                    k: int = 4, step_batch: int = 1):
+    """VERDICT r4 #3: speculative decoding COMPOSED with the PREGO
+    anticipation step — 4 sampled gens (num_samples²) sharing the
+    1,500-token context at 7B int8+kv8, generated through
+    SpeculativeLlama.generate_with_prefix_cache (the --spec_k driver
+    seam), with the plain prefix-cached step measured in the SAME
+    process/window.  Drafts are layer-truncated SELF-drafts (shared
+    weight arrays, zero extra HBM): self-32 = full depth (acceptance ~1
+    with REAL draft cost — the step's speculation ceiling), self-16 =
+    half depth (the deployable config; acceptance ~0 on fabricated
+    weights -> the overhead floor).  step_batch=1 keeps the draft's bf16
+    KV cache (the only extra HBM) within the one-chip budget at 2048 ctx."""
+    case = f"anticipation_step_7b_spec_{draft.replace('-', '')}_k{k}"
+    from prego_tpu.models.llama.speculative import SpeculativeLlama, self_draft
+
+    if tiny:
+        llama, cfg = _llama(True, "none")
+        d_params, d_cfg = self_draft(llama.params, cfg, cfg.n_layers)
+        spec = SpeculativeLlama(llama, d_params, d_cfg, k=2)
+        out = spec.generate_with_prefix_cache(
+            [[5] * 70 + [9, i] for i in range(4)], max_gen_len=4,
+            temperature=0.6,
+        )
+        assert len(out) == 4
+        return {"case": case, "smoke": "ok"}
+
+    bsz = 4 * step_batch
+    llama, cfg = _llama_7b(True, max_batch=bsz, max_seq=2048)
+    n_layers = int(draft[4:]) if draft.startswith("self") else cfg.n_layers
+    d_params, d_cfg = self_draft(llama.params, cfg, n_layers)
+    spec = SpeculativeLlama(llama, d_params, d_cfg, k=k)
+    rng = np.random.default_rng(0)
+    context = rng.integers(4, 31999, 1500).tolist()
+    gen_len = 8
+
+    def prompts_for(observed):
+        prompts = []
+        for s in range(step_batch):
+            prompts.extend([context + observed + list(range(7, 7 + s))] * 4)
+        return prompts
+
+    def run(gen_fn, label):
+        gen_fn(prompts_for([7, 8, 9]))  # compile + prefix build
+        ts = []
+        for i in range(5):
+            obs = [7, 8, 9] + rng.integers(4, 31999, i % 5).tolist()
+            t0 = time.perf_counter()
+            gen_fn(prompts_for(obs))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2] / step_batch
+
+    spec_dt = run(
+        lambda p: spec.generate_with_prefix_cache(
+            p, max_gen_len=gen_len, temperature=0.6, top_p=0.9
+        ),
+        "spec",
+    )
+    acc = spec.drafts_accepted / max(spec.drafts_proposed, 1)
+    plain_dt = run(
+        lambda p: llama.generate_with_prefix_cache(
+            p, max_gen_len=gen_len, temperature=0.6, top_p=0.9
+        ),
+        "plain",
+    )
+    return {
+        "case": case,
+        "value": round(spec_dt * 1e3, 1),
+        "unit": "ms/step (4 gens, shared ctx, speculative; median of 5)",
+        "plain_ms_per_step": round(plain_dt * 1e3, 1),
+        "speedup_vs_plain": round(plain_dt / spec_dt, 2),
+        "acceptance_rate": round(acc, 3),
+        "ctx_len": 1500,
+        "step_batch": step_batch,
+        "k": k,
+    }
+
+
+def bench_spec_decode_batched(tiny: bool, batch: int = 8, k: int = 4,
+                              gen_len: int = 128):
+    """Speculative decoding AT SERVING BATCH (the CB×spec decision input,
+    VERDICT r4 #3): B rows advance per-row through oracle-draft rounds
+    (acceptance 1 — the ceiling), vs the plain batched decode in the same
+    process.  At b1 the verify rides a weight stream that dominates; at
+    b8+ the per-token weight cost is already amortized, so the measured
+    ceiling here bounds what adding per-row verify to the CB slot loop
+    could ever pay."""
+    case = f"spec_decode_7b_b{batch}_oracle_k{k}"
+    if tiny:
+        return {"case": case, "skipped": "tiny"}
+    from prego_tpu.models.llama.speculative import SpeculativeLlama
+
+    llama, cfg = _llama_ref("7b", kv_quant=True, max_batch=batch, max_seq=256)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(4, 31999, 8).tolist() for _ in range(batch)]
+
+    want, _ = llama.generate([list(p) for p in prompts], max_gen_len=gen_len,
+                             temperature=0.0)  # compile
+    base_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, _ = llama.generate([list(p) for p in prompts],
+                                max_gen_len=gen_len, temperature=0.0)
+        base_ts.append(time.perf_counter() - t0)
+    base_dt = sorted(base_ts)[1]
+    n_base = sum(max(len(o), 1) for o in out)
+
+    spec = SpeculativeLlama(llama, k=k)
+    # per-row fixed-point oracle (same bf16 near-tie handling as the b1
+    # case): iterate replay <- spec output until it reproduces itself
+    tails = [list(w) for w in want]
+    for _ in range(3):
+        out_fp = spec.generate(
+            [list(p) for p in prompts], max_gen_len=gen_len, temperature=0.0,
+            oracle_tokens=[list(p) + t for p, t in zip(prompts, tails)],
+        )
+        if all(o == t for o, t in zip(out_fp, tails)):
+            break
+        tails = [list(o) for o in out_fp]
+    kw = {"oracle_tokens": [list(p) + t for p, t in zip(prompts, tails)]}
+    spec.generate([list(p) for p in prompts], max_gen_len=gen_len,
+                  temperature=0.0, **kw)  # warm
+    spec.rounds = spec.drafts_accepted = spec.drafts_proposed = 0
+    spec_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out_s = spec.generate([list(p) for p in prompts],
+                              max_gen_len=gen_len, temperature=0.0, **kw)
+        spec_ts.append(time.perf_counter() - t0)
+    spec_dt = sorted(spec_ts)[1]
+    n_spec = sum(max(len(o), 1) for o in out_s)
+    acc = spec.drafts_accepted / max(spec.drafts_proposed, 1)
+    return {
+        "case": case,
+        "value": round(n_spec / spec_dt, 1),
+        "unit": f"tok/s (b{batch} greedy, median of 3)",
+        "baseline_tok_s": round(n_base / base_dt, 1),
+        "speedup_vs_plain": round(
+            (n_spec / spec_dt) / (n_base / base_dt), 2
+        ),
+        "acceptance_rate": round(acc, 3),
+        "k": k,
+        "batch": batch,
+    }
+
+
 CASES = {
     "decode_b1": lambda tiny: bench_decode(1, tiny),
     "spec_decode_7b_oracle_k8": lambda tiny: bench_spec_decode(tiny, k=8),
@@ -762,6 +957,19 @@ CASES = {
         tiny, step_batch=2),
     # same step through the continuous-batching backend (--serving cb)
     "anticipation_step_7b_cb_sb2": lambda tiny: bench_anticipation_step_7b_cb(tiny),
+    # r4 VERDICT #1: the two contradicting BENCH_r04 7B b1 rows read
+    # interleaved in ONE process (weather-controlled pair)
+    "reconcile_7b_b1": bench_reconcile_7b_b1,
+    # r4 VERDICT #3: speculation composed with the PREGO anticipation
+    # step (self-draft brackets) and with serving batches (oracle ceiling)
+    "anticipation_step_7b_spec_self16_k4": lambda tiny:
+        bench_anticipation_step_7b_spec(tiny, draft="self16", k=4),
+    "anticipation_step_7b_spec_self32_k4": lambda tiny:
+        bench_anticipation_step_7b_spec(tiny, draft="self32", k=4),
+    "spec_decode_7b_b8_oracle_k4": lambda tiny:
+        bench_spec_decode_batched(tiny, batch=8, k=4),
+    "spec_decode_7b_b16_oracle_k4": lambda tiny:
+        bench_spec_decode_batched(tiny, batch=16, k=4),
 }
 
 
