@@ -192,7 +192,10 @@ class JaxLlamaLLM:
         dtype=None,
         prefix_cache: bool = True,  # PREGO prompts share huge prefixes
         orbax_dir: Optional[str] = None,  # sharded-format cache of converted weights
-        quantize: bool = False,  # weight-only int8 serving (ops/quant.py)
+        quantize=False,  # int8 serving (ops/quant.py): False | True/"int8"
+        # (weight-only) | "int8x8" (activation-quant int8 x int8 MXU —
+        # SINGLE-CHIP ONLY: the act layout has no TP PartitionSpecs, so
+        # tp > 1 raises instead of silently dropping the activation path)
         kv_quant: bool = False,  # int8 KV cache (model.init_cache(quantized=True))
         fabricated: Optional[str] = None,  # "7b"/"13b": random weights at a
         # reference serving shape (vocab 32000, byte tokenizer) — TIMING
@@ -211,6 +214,14 @@ class JaxLlamaLLM:
         # a Meta checkpoint dir for a real trained draft
     ):
         self.prefix_cache = prefix_cache
+        if quantize is True:
+            quantize = "int8"
+        if quantize not in (False, "int8", "int8x8"):
+            raise ValueError(
+                f"unknown quantize mode {quantize!r} (False|'int8'|'int8x8')"
+            )
+        act_quant = quantize == "int8x8"
+        quantize = bool(quantize)
         if serving not in ("batch", "cb"):
             raise ValueError(f"unknown serving mode {serving!r} (batch|cb)")
         if spec_k and serving == "cb":
@@ -250,7 +261,8 @@ class JaxLlamaLLM:
             self._spec_min_accept = 1.0 / spec_k if spec_k else 0.0
         if fabricated is not None:
             self._init_fabricated(
-                fabricated, max_seq_len, max_batch_size, quantize, kv_quant
+                fabricated, max_seq_len, max_batch_size, quantize, kv_quant,
+                act_quant,
             )
             return
         import jax
@@ -291,6 +303,15 @@ class JaxLlamaLLM:
             # (e.g. a CPU test mesh) would silently swap layouts. Pass
             # tp>1 explicitly for multi-chip int8 (unfused + xla paths).
             tp = 1 if quantize else len(jax.devices())
+        if tp > 1 and act_quant:
+            # VERDICT r4 #6: the int8x8 activation-quant layout has no TP
+            # PartitionSpecs (parallel/sharding.py) — raise instead of
+            # silently dropping the activation path the caller asked for
+            raise ValueError(
+                "int8x8 activation-quant serving is single-chip only "
+                "(no TP specs for the act layout); use quantize='int8' "
+                "for tensor-parallel serving or tp=1"
+            )
         quantized_loaded = False
         stage_ctx = (
             (lambda: jax.default_device(jax.devices("cpu")[0]))
@@ -313,10 +334,12 @@ class JaxLlamaLLM:
             elif orbax_dir and osp.isdir(orbax_dir):
                 from prego_tpu.checkpoint.orbax_io import load_llama_params
 
-                if quantize:
-                    # the cache holds the serving layout (fused int8) —
-                    # restores straight into int8+scale leaves; fall back
-                    # to a bf16 cache written by a non-quantized run
+                if quantize and not act_quant:
+                    # the cache holds the serving layout (fused weight-only
+                    # int8) — restores straight into int8+scale leaves;
+                    # fall back to a bf16 cache written by a non-quantized
+                    # run (the act layout never restores from it: its
+                    # leaves carry the extra marker)
                     try:
                         params = load_llama_params(
                             orbax_dir, config, dtype=dtype, quantized=True
@@ -394,11 +417,12 @@ class JaxLlamaLLM:
 
                 with stage_ctx():  # host-side fuse + quantize (see above)
                     params = fuse_projections(params)
-                    params = quantize_params(params)
-                if orbax_dir and not osp.isdir(orbax_dir):
+                    params = quantize_params(params, activations=act_quant)
+                if orbax_dir and not osp.isdir(orbax_dir) and not act_quant:
                     # fresh cache: store the serving layout so later
                     # launches restore int8 directly (no bf16 stage at
-                    # all); an existing bf16 cache is left untouched
+                    # all); an existing bf16 cache is left untouched (the
+                    # act layout is not cached — its marker is structural)
                     save_llama_params(orbax_dir, params)
                 params = jax.device_put(params, jax.devices()[0])
             else:
@@ -417,7 +441,7 @@ class JaxLlamaLLM:
 
     def _init_fabricated(
         self, shape: str, max_seq_len: int, max_batch_size: int,
-        quantize: bool, kv_quant: bool,
+        quantize: bool, kv_quant: bool, act_quant: bool = False,
     ):
         """Random weights at a reference serving shape (full 32000-entry
         lm-head; prompts go through the ByteTokenizer) — lets the REAL
@@ -448,7 +472,8 @@ class JaxLlamaLLM:
         )
         if quantize:
             params = init_params_quantized(
-                cfg, jax.random.PRNGKey(0), fused=True, dtype=dtype
+                cfg, jax.random.PRNGKey(0), fused=True, dtype=dtype,
+                activations=act_quant,
             )
         else:
             params = fuse_projections(

@@ -95,8 +95,11 @@ def main(argv: Optional[List[str]] = None):
                    help="orbax cache of converted weights; with --quantize "
                         "it holds the fused-int8 SERVING layout and later "
                         "launches restore int8 directly (no bf16 stage)")
-    p.add_argument("--quantize", action="store_true",
-                   help="weight-only int8 serving for --llm jax-llama")
+    p.add_argument("--quantize", nargs="?", const="int8", default=False,
+                   choices=["int8", "int8x8"],
+                   help="int8 serving for --llm jax-llama: bare flag or "
+                        "'int8' = weight-only; 'int8x8' = activation-quant "
+                        "int8 x int8 MXU matmuls (single-chip only)")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8 KV cache for --llm jax-llama (half the decode "
                    "cache traffic, double the context capacity)")

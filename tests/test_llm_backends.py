@@ -277,6 +277,27 @@ def test_jax_llama_fabricated_quantized_runs_on_cpu():
     assert len(out) == 1 and "generation" in out[0]
 
 
+def test_jax_llama_fabricated_int8x8_runs_on_cpu():
+    """quantize='int8x8' (activation-quant int8xint8) through the LLM
+    adapter: fabricated leaves carry the 'act' marker and generation runs
+    off-TPU (VERDICT r4 #6's adapter seam)."""
+    import pytest as _pytest
+
+    from prego_tpu.anticipation.llm import JaxLlamaLLM
+
+    with _pytest.raises(ValueError, match="quantize mode"):
+        JaxLlamaLLM(None, None, fabricated="tiny", quantize="int4")
+    llm = JaxLlamaLLM(
+        None, None, fabricated="tiny", max_seq_len=128, quantize="int8x8",
+    )
+    wqkv = llm.llama.params["layers"][0]["attention"]["wqkv"]
+    assert "act" in wqkv
+    out = llm.text_completion(
+        ["Sequence: 1, 2\nNext:\n"], max_gen_len=4, temperature=0.0
+    )
+    assert len(out) == 1 and "generation" in out[0]
+
+
 def test_jax_llama_fabricated_tiny_drives_cli(tmp_path):
     """--fabricated runs the real driver with random weights at a named
     shape (timing demonstrations; no checkpoint assets needed)."""

@@ -163,3 +163,36 @@ def test_jax_llama_llm_tp_quantize_shards(tmp_path):
     a = tp8.text_completion(["abc"], max_gen_len=4, temperature=0.0)
     b = single.text_completion(["abc"], max_gen_len=4, temperature=0.0)
     assert a[0]["generation"] == b[0]["generation"]
+
+
+def test_jax_llama_llm_int8x8_tp_guard(tmp_path):
+    """quantize='int8x8' (activation-quant) has no TP PartitionSpecs
+    (parallel/sharding.py) — JaxLlamaLLM must raise on tp>1 instead of
+    silently dropping the activation path, and run normally at tp=1
+    (VERDICT r4 #6)."""
+    import json as _json
+
+    torch = pytest.importorskip("torch")
+    from tests.test_convert import _params_to_meta_state
+
+    cfg = _cfg()
+    src = init_params(cfg, jax.random.PRNGKey(11), dtype=jnp.float32)
+    sd = _params_to_meta_state(src)
+    torch.save(sd, tmp_path / "consolidated.00.pth")
+    (tmp_path / "params.json").write_text(_json.dumps({
+        "dim": cfg.dim, "n_layers": cfg.n_layers, "n_heads": cfg.n_heads,
+        "n_kv_heads": cfg.n_kv_heads, "norm_eps": cfg.norm_eps,
+        "vocab_size": -1, "multiple_of": cfg.multiple_of,
+    }))
+    from prego_tpu.anticipation.llm import JaxLlamaLLM
+
+    kw = dict(ckpt_dir=str(tmp_path), tokenizer_path="byte",
+              max_seq_len=64, max_batch_size=2, dtype=jnp.float32,
+              quantize="int8x8")
+    with pytest.raises(ValueError, match="single-chip"):
+        JaxLlamaLLM(tp=8, **kw)
+    llm = JaxLlamaLLM(tp=1, **kw)
+    wqkv = llm.llama.params["layers"][0]["attention"]["wqkv"]
+    assert "act" in wqkv  # the activation-quant layout actually loaded
+    out = llm.text_completion(["abc"], max_gen_len=4, temperature=0.0)
+    assert len(out) == 1 and "generation" in out[0]
