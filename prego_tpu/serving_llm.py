@@ -33,11 +33,13 @@ requests enter and leave mid-flight:
     stream the chunk already pays (decode at serving batches is
     weight-streaming-bound, so the extra row's token is ~free).
     Admission then costs only the prefix-KV row copy (a scatter, no
-    forward).  Break-even: piggyback loses ~L emission-steps on ONE
-    slot; a dedicated prefill loses ~S tokens (all slots stall one
-    weight stream) plus a dispatch round-trip — so suffixes up to
-    ~4*slots ride the scan (PREGO_CB_PIGGYBACK overrides; 0 disables)
-    and longer ones keep the dedicated prefill path.
+    forward).  The weight-stream break-even (~4*slots) is NOT the right
+    threshold under saturation: a piggybacked suffix holds its slot L
+    emission-steps without emitting, and the s16 ctx-burst A/B/A
+    (chipq_r5a, ~65-token suffixes) measured piggyback-64 at 386.2 tok/s
+    vs 493.9/487.6 control — so only TINY suffixes (default <= 4 tokens,
+    where the saved dispatch RTT + all-slot stall dominate) ride the
+    scan.  PREGO_CB_PIGGYBACK overrides; 0 disables.
 
 Utilization therefore tracks offered load instead of worst-of-batch
 latency, and admission cost tracks the NOVEL tokens of each request
@@ -336,15 +338,20 @@ class ContinuousBatcher:
         self.prefix_sharing = prefix_sharing
         # Piggyback-admission threshold: novel suffixes up to this many
         # tokens (incl. the last prompt token) are fed THROUGH the decode
-        # scan instead of a dedicated prefill forward (see module
-        # docstring for the ~4*slots break-even).  0 disables (every
+        # scan instead of a dedicated prefill forward.  0 disables (every
         # admission prefills); the pending buffer is a static shape, so
         # the threshold is fixed per batcher (one compile signature).
+        # Default 4, NOT the weight-stream break-even (~4*slots): the
+        # same-window A/B/A at the saturated s16 ctx burst (~65-token
+        # suffixes, chipq_r5a) read control 493.9 / piggyback-64 386.2 /
+        # control 487.6 tok/s — at saturation the scarce resource is slot
+        # OCCUPANCY, and a piggybacked suffix holds its slot L emission-
+        # steps without emitting.  Tiny suffixes still win: a dedicated
+        # prefill stalls every live slot one weight stream plus a ~25-50 ms
+        # dispatch RTT, vs <= 3 occupied steps on one slot.
         if piggyback_max_suffix is None:
             env = os.environ.get("PREGO_CB_PIGGYBACK")
-            piggyback_max_suffix = (
-                int(env) if env is not None else 4 * self.slots
-            )
+            piggyback_max_suffix = int(env) if env is not None else 4
         # >= 1: every admission enqueues at least its last prompt token
         self.pend_buf = max(int(piggyback_max_suffix), 1)
         # Pipeline the per-chunk emits fetch behind the NEXT chunk's
@@ -369,7 +376,9 @@ class ContinuousBatcher:
         self.kv_quant = bool(getattr(llama, "kv_quant", False))
         self._cache_dtype = self.params["norm"].dtype  # bf16 on TPU, f32 CPU
         self._rope = precompute_rope(self.config)
-        self._key = jax.random.PRNGKey(seed)
+        self._key = jax.random.PRNGKey(
+            int(os.environ.get("PREGO_SAMPLE_SEED", seed))
+        )
         self._eos_id = int(getattr(llama.tokenizer, "eos_id", -2))
         self._cache: Optional[Cache] = None  # reused across serve() calls
 

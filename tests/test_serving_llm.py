@@ -351,8 +351,8 @@ def test_piggyback_on_off_parity_and_accounting(llama_long):
                 max_gen_len=6)
         for i in range(5)
     ]
-    piggy = ContinuousBatcher(llama_long, slots=2, chunk=4, temperature=0.0)
-    assert piggy.pend_buf == 8  # 4 * slots default
+    piggy = ContinuousBatcher(llama_long, slots=2, chunk=4, temperature=0.0,
+                              piggyback_max_suffix=8)
     piggy.register_prefix(ctx)
     done_p, stats_p = piggy.serve([Request(**vars(r)) for r in reqs])
     dedicated = ContinuousBatcher(
@@ -389,7 +389,9 @@ def test_piggyback_env_override(llama, monkeypatch):
     monkeypatch.setenv("PREGO_CB_PIGGYBACK", "23")
     assert ContinuousBatcher(llama, slots=4).pend_buf == 23
     monkeypatch.delenv("PREGO_CB_PIGGYBACK")
-    assert ContinuousBatcher(llama, slots=4).pend_buf == 16
+    # default 4: tiny suffixes only — the saturated-burst A/B/A showed
+    # long piggybacked suffixes starve slot occupancy (chipq_r5a)
+    assert ContinuousBatcher(llama, slots=4).pend_buf == 4
     assert ContinuousBatcher(
         llama, slots=4, piggyback_max_suffix=7
     ).pend_buf == 7
