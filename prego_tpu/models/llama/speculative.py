@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -195,8 +196,14 @@ def _spec_generate_body(
     if oracle is None:
         d_rope = precompute_rope(draft_config)
         if d_cache is None:
+            # the draft cache inherits the target's int8-KV setting: a
+            # full-depth self-draft otherwise duplicates the whole bf16 KV
+            # footprint (OOM at B=4, ctx 1500, 7B — chipq_r5a)
             d_cache = _pad_cache_T(
-                init_cache(draft_config, B, dtype=draft_params["norm"].dtype),
+                init_cache(
+                    draft_config, B, dtype=draft_params["norm"].dtype,
+                    quantized=kv_quant,
+                ),
                 _cache_spare(draft_config, k),
             )
         _, d_cache = forward(
@@ -482,7 +489,9 @@ class SpeculativeLlama:
         self.draft_config = draft_config
         self.k = int(k)
         self.pad_to_multiple = pad_to_multiple
-        self._key = jax.random.PRNGKey(1)
+        self._key = jax.random.PRNGKey(
+            int(os.environ.get("PREGO_SAMPLE_SEED", "1"))
+        )
         # the draft side reuses Llama's prefix-LRU machinery wholesale
         # (chunked builds, delta-extends, eviction) for its OWN cache tree
         self._draft_llama = None
@@ -492,6 +501,9 @@ class SpeculativeLlama:
             self._draft_llama = Llama(
                 draft_params, target.tokenizer, draft_config,
                 prefix_cache_slots=target.prefix_cache_slots,
+                # the draft's prefix-LRU caches follow the target's KV
+                # quantization (they broadcast into the in-jit d_cache)
+                kv_quant=getattr(target, "kv_quant", False),
             )
         # observability (host-mirrored after each generate)
         self.rounds = 0

@@ -107,11 +107,22 @@ def test_greedy_with_quantized_kv_target(target, draft):
     q_target = Llama(target.params, ByteTokenizer(), cfg, kv_quant=True)
     d_params, d_cfg = draft
     spec = SpeculativeLlama(q_target, d_params, d_cfg, k=3)
+    # the draft side INHERITS int8 KV (a full-depth self-draft otherwise
+    # duplicates the whole bf16 KV footprint — chipq_r5a OOM at 7B B=4)
+    assert spec._draft_llama.kv_quant
     prompt = [5, 9, 21, 3, 17]
     want, _ = q_target.generate([list(prompt)], max_gen_len=16,
                                 temperature=0.0)
     got = spec.generate([list(prompt)], max_gen_len=16, temperature=0.0)
     assert got == want
+    # prefix-cached path: both models resume from their (now int8) LRU
+    # prefix caches; greedy output must equal the plain path's
+    text = ByteTokenizer().decode(prompt)
+    out = spec.text_completion([text], max_gen_len=16, temperature=0.0,
+                               use_prefix_cache=True)
+    plain = q_target.text_completion([text], max_gen_len=16,
+                                     temperature=0.0)
+    assert out[0]["generation"] == plain[0]["generation"]
 
 
 def test_greedy_with_int8_target(target, draft):
