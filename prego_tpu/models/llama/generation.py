@@ -20,6 +20,7 @@ token.
 from __future__ import annotations
 
 import functools
+import os
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
@@ -227,7 +228,11 @@ class Llama:
         self.config = config
         self.pad_to_multiple = pad_to_multiple
         self.kv_quant = kv_quant  # int8 KV cache (see model.init_cache)
-        self._key = jax.random.PRNGKey(1)  # seed parity: generation.py:95
+        # seed parity: generation.py:95; PREGO_SAMPLE_SEED varies the
+        # sampling stream (A/B noise-floor controls, ab_sampled_verdicts.py)
+        self._key = jax.random.PRNGKey(
+            int(os.environ.get("PREGO_SAMPLE_SEED", "1"))
+        )
         # LRU of B=1 prefix KV caches keyed by the token prefix (VERDICT r2
         # #5: Assembly has few distinct toy contexts but many videos, so a
         # single slot paid the ~65 ms rebuild on every toy switch; N slots

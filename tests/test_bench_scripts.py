@@ -116,4 +116,29 @@ def test_ab_flat_verdicts_tiny():
     assert row["steps"] > 0
     assert row["verdict_flips"] == 0
     assert row["set_mismatch_steps"] == 0
+
+
+def test_ab_sampled_verdicts_tiny():
+    """Hermetic CPU run of the sampled-mode spec/CB VERDICT A/B harness
+    (VERDICT r4 #5): validates the plumbing — four child legs, noise-floor
+    calibration, pairwise flip accounting (rates are the chip run's job)."""
+    proc = subprocess.run(
+        [sys.executable, "scripts/ab_sampled_verdicts.py", "--tiny",
+         "--videos", "2"],
+        cwd=REPO,
+        env={**os.environ, "PREGO_PLATFORM": "cpu"},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        timeout=1200,  # four driver child processes
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    (row,) = [
+        json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")
+    ]
+    assert row["case"] == "ab_sampled_verdicts_tiny"
+    assert row["steps"] > 0
+    for k in ("noise_floor_flips", "spec_flips", "cb_flips",
+              "metrics_base", "metrics_spec", "metrics_cb"):
+        assert k in row
     assert row["metrics_flat"] == row["metrics_perhead"]
