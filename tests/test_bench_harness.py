@@ -40,6 +40,42 @@ def test_extras_parse_child_json(monkeypatch):
         assert extras[f"{prefix}_pct_of_floor"] == 61.0
 
 
+def test_extras_case_names_exist():
+    """Every LLM_EXTRAS case must resolve in scripts/bench_llm.py — a
+    renamed case would otherwise only fail mid-capture on the chip."""
+    import os.path as _osp
+    import sys as _sys
+
+    repo = _osp.dirname(_osp.dirname(_osp.abspath(__file__)))
+    _sys.path.insert(0, _osp.join(repo, "scripts"))
+    from bench_llm import CASES
+
+    for case, _, _ in bench.LLM_EXTRAS:
+        assert case in CASES, case
+
+
+def test_extras_parse_reconcile_row(monkeypatch):
+    """The reconciliation pair (VERDICT r4 #1) lands BOTH interleaved b1
+    readings on the official line."""
+    row = {"case": "reconcile_7b_b1", "value": 10.06,
+           "unit": "ms/step (decode_7b_int8 leg, median of 3 interleaved)",
+           "kv8_ms_per_step": 10.76, "kv8_over_plain_pct": 7.0,
+           "weather_ms": 27.5}
+
+    def fake_run(cmd, **kw):
+        return _Proc(0, stdout=json.dumps(row))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(
+        bench, "LLM_EXTRAS", (("reconcile_7b_b1", "x", 60),)
+    )
+    extras = bench._collect_llm_extras(weather_clean=True)
+    assert extras["x_ms_per_step"] == 10.06
+    assert extras["x_kv8_ms_per_step"] == 10.76
+    assert extras["x_kv8_over_plain_pct"] == 7.0
+    assert extras["x_weather_ms"] == 27.5
+
+
 def test_extras_parse_spec_decode_row(monkeypatch):
     """Speculative-decode rows carry their own in-child baseline: the
     attested keys are tok/s + speedup_vs_plain + acceptance, not the
