@@ -168,6 +168,13 @@ LLM_EXTRAS = (
     # measures its own plain-greedy baseline in the same child, so the
     # attested row carries speedup_vs_plain directly
     ("spec_decode_7b_oracle_k4", "llm_spec_decode_7b_oracle_k4", 720),
+    # speculation COMPOSED with the PREGO anticipation step (VERDICT r4
+    # #3: one attested step-with-speculation number) — full-depth
+    # self-draft, acceptance ~1 on fabricated weights, so the attested
+    # row is the composed-path ceiling; LAST so budget exhaustion drops
+    # it before the established rows
+    ("anticipation_step_7b_spec_self32_k4",
+     "llm_anticipation_step_7b_spec_self32_k4", 720),
 )
 
 
@@ -225,12 +232,19 @@ def _run_llm_case(case: str, timeout_s: float):
 
 def _extras_from_row(prefix: str, row: dict) -> dict:
     extras = {}
-    if "speedup_vs_plain" in row:  # speculative-decode rows
+    if "speedup_vs_plain" in row and "tok/s" in row.get("unit", ""):
+        # speculative-decode rows
         extras[f"{prefix}_tok_s"] = row["value"]
         extras[f"{prefix}_speedup_vs_plain"] = row["speedup_vs_plain"]
         extras[f"{prefix}_acceptance"] = row["acceptance_rate"]
         if "spread_pct" in row:
             extras[f"{prefix}_spread_pct"] = row["spread_pct"]
+    elif "speedup_vs_plain" in row:  # composed spec-anticipation step:
+        # ms/step plus the same-window plain leg and acceptance
+        extras[f"{prefix}_ms_per_step"] = row["value"]
+        extras[f"{prefix}_plain_ms_per_step"] = row["plain_ms_per_step"]
+        extras[f"{prefix}_speedup_vs_plain"] = row["speedup_vs_plain"]
+        extras[f"{prefix}_acceptance"] = row["acceptance_rate"]
     elif "tok/s" in row.get("unit", ""):  # serving-burst rows
         extras[f"{prefix}_useful_tok_s"] = row["value"]
         if "prefix_hits" in row:

@@ -25,6 +25,7 @@ import os
 import sys
 import threading
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -431,17 +432,25 @@ def _serving_workload(tiny: bool, n_reqs: int, seed: int = 7):
     ], []
 
 
-def _serving_workload_ctx(tiny: bool, n_reqs: int, seed: int = 7):
+def _serving_workload_ctx(tiny: bool, n_reqs: int, seed: int = 7,
+                          ctx_len: Optional[int] = None):
     """PREGO-shaped burst: a few shared per-toy contexts, each request =
     context + short novel history tail (llama_meta.py:118-174 — hundreds
     of requests share one few-shot context per toy).  The regime where
     prefix-sharing admission should collapse prefill cost to ~#contexts
-    context prefills + tiny per-request suffixes."""
+    context prefills + tiny per-request suffixes.
+
+    The default 300-token context is NOT 64-aligned, so admission reuses
+    only the aligned 256 tokens and every suffix carries the 44-token
+    remainder (measured ~65-token suffixes at s16 — chipq_r5a).  Pass an
+    aligned ctx_len (e.g. 256) to make the suffix the bare novel tail
+    (5-40 tokens) — the piggyback-admission win regime."""
     rng = np.random.default_rng(seed)
     n_ctx = 2 if tiny else 4
     # tiny contexts must still clear the 64-token prefix chunk so the
     # smoke actually exercises prefix-sharing admission
-    ctx_len = 80 if tiny else 300
+    if ctx_len is None:
+        ctx_len = 80 if tiny else 300
     lo_t, hi_t = (2, 8) if tiny else (5, 40)
     lo_g, hi_g = (2, 8) if tiny else (16, 96)
     hi_id = 250 if tiny else 31999
@@ -468,7 +477,9 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
     generation.py:121-215).  workload="ctx" is the PREGO-shaped shared-
     context stream.  Both modes WARM their jit signatures on a prologue
     burst first — the measured wall is serving, not compilation."""
-    case = f"serving_{mode}_{shape}_s{slots}" + ("_ctx" if workload == "ctx" else "")
+    case = f"serving_{mode}_{shape}_s{slots}" + (
+        {"ctx": "_ctx", "ctxa": "_ctxa"}.get(workload, "")
+    )
     from prego_tpu.serving_llm import ContinuousBatcher, Request
 
     if tiny:
@@ -478,8 +489,15 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
     else:
         llama, cfg = _llama_ref(shape, kv_quant=True, max_batch=slots,
                                 max_seq=512)
-    make = _serving_workload_ctx if workload == "ctx" else _serving_workload
-    work, contexts = make(tiny, n_reqs)
+    if workload == "ctx":
+        work, contexts = _serving_workload_ctx(tiny, n_reqs)
+    elif workload == "ctxa":  # 64-ALIGNED contexts: suffixes are the bare
+        # 5-40-token novel tails (the piggyback-admission win regime)
+        work, contexts = _serving_workload_ctx(
+            tiny, n_reqs, ctx_len=64 if tiny else 256
+        )
+    else:
+        work, contexts = _serving_workload(tiny, n_reqs)
     gen_total = 0
     if mode == "cb":
         cb = ContinuousBatcher(
@@ -552,6 +570,7 @@ def bench_serving_cb(tiny: bool, mode: str = "cb", slots: int = 8,
         row["prefix_hits"] = stats.prefix_hits
         row["prefix_tokens_reused"] = stats.prefix_tokens_reused
         row["suffix_tokens_prefilled"] = stats.suffix_tokens_prefilled
+        row["suffix_tokens_piggybacked"] = stats.suffix_tokens_piggybacked
         if contexts:
             row["ctx_register_s"] = round(t_reg, 2)
     return row
@@ -944,6 +963,10 @@ CASES = {
         tiny, mode="static", workload="ctx"),
     "serving_cb_7b_s16_ctx": lambda tiny: bench_serving_cb(
         tiny, mode="cb", slots=16, n_reqs=48, workload="ctx"),
+    # 64-ALIGNED contexts: suffixes are the bare 5-40-token tails — the
+    # piggyback-admission threshold sweep runs here (PREGO_CB_PIGGYBACK)
+    "serving_cb_7b_s16_ctxa": lambda tiny: bench_serving_cb(
+        tiny, mode="cb", slots=16, n_reqs=48, workload="ctxa"),
     # 16-slot variants: flat-head attention makes the b16 decode
     # marginal nearly batch-flat (12.13 vs 12.09 ms at b8), so doubling
     # the slot count should nearly double useful tok/s on a deep burst

@@ -76,6 +76,31 @@ def test_extras_parse_reconcile_row(monkeypatch):
     assert extras["x_weather_ms"] == 27.5
 
 
+def test_extras_parse_composed_spec_step_row(monkeypatch):
+    """The composed spec-anticipation-step row is ms/step-shaped but
+    carries speedup/acceptance — it must NOT be parsed as a tok/s row."""
+    row = {"case": "anticipation_step_7b_spec_self32_k4", "value": 140.0,
+           "unit": "ms/step (4 gens, shared ctx, speculative; median of 5)",
+           "plain_ms_per_step": 190.0, "speedup_vs_plain": 1.36,
+           "acceptance_rate": 0.98, "k": 4}
+
+    def fake_run(cmd, **kw):
+        return _Proc(0, stdout=json.dumps(row))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(
+        bench, "LLM_EXTRAS",
+        (("anticipation_step_7b_spec_self32_k4", "cs", 60),),
+    )
+    extras = bench._collect_llm_extras(weather_clean=True)
+    assert extras == {
+        "cs_ms_per_step": 140.0,
+        "cs_plain_ms_per_step": 190.0,
+        "cs_speedup_vs_plain": 1.36,
+        "cs_acceptance": 0.98,
+    }
+
+
 def test_extras_parse_spec_decode_row(monkeypatch):
     """Speculative-decode rows carry their own in-child baseline: the
     attested keys are tok/s + speedup_vs_plain + acceptance, not the
