@@ -773,8 +773,11 @@ def bench_anticipation_step_7b_spec(tiny: bool, draft: str = "self16",
     weight arrays, zero extra HBM): self-32 = full depth (acceptance ~1
     with REAL draft cost — the step's speculation ceiling), self-16 =
     half depth (the deployable config; acceptance ~0 on fabricated
-    weights -> the overhead floor).  step_batch=1 keeps the draft's bf16
-    KV cache (the only extra HBM) within the one-chip budget at 2048 ctx."""
+    weights -> the overhead floor).  The draft cache inherits int8-KV
+    (chipq_r5a: the bf16 draft cache OOM'd the self-32 leg at B=4), and
+    max_seq 1792 (ctx 1500 + observed + gen 8 + speculative spare) keeps
+    the two B=4 caches + two B=1 prefix slots + 6.74 GB weights under the
+    15.75 GB HBM budget."""
     case = f"anticipation_step_7b_spec_{draft.replace('-', '')}_k{k}"
     from prego_tpu.models.llama.speculative import SpeculativeLlama, self_draft
 
@@ -790,7 +793,7 @@ def bench_anticipation_step_7b_spec(tiny: bool, draft: str = "self16",
         return {"case": case, "smoke": "ok"}
 
     bsz = 4 * step_batch
-    llama, cfg = _llama_7b(True, max_batch=bsz, max_seq=2048)
+    llama, cfg = _llama_7b(True, max_batch=bsz, max_seq=1792)
     n_layers = int(draft[4:]) if draft.startswith("self") else cfg.n_layers
     d_params, d_cfg = self_draft(llama.params, cfg, n_layers)
     spec = SpeculativeLlama(llama, d_params, d_cfg, k=k)
