@@ -141,4 +141,3 @@ def test_ab_sampled_verdicts_tiny():
     for k in ("noise_floor_flips", "spec_flips", "cb_flips",
               "metrics_base", "metrics_spec", "metrics_cb"):
         assert k in row
-    assert row["metrics_flat"] == row["metrics_perhead"]
