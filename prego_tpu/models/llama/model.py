@@ -347,12 +347,10 @@ def _dense(x: jax.Array, leaf) -> jax.Array:
 
         lead = x.shape[:-1]
         x2 = x.reshape(-1, x.shape[-1])
-        # weight-only projections take the shape-aware backend default;
-        # the int8x8 activation path stays pallas unless env-forced (its
-        # XLA route is the int32-dot reference, unmeasured at scale)
-        backend = _q8_dense_backend(
-            leaf["q"].shape if "act" not in leaf else None
-        )
+        # both layouts take the shape-aware backend default (xla at
+        # min-dim >= 4096): the act path's int32-dot XLA route measured
+        # 7B b8 12.93 -> 11.80 (r4h) and b1 10.09 -> 9.95 (chipq_r5a)
+        backend = _q8_dense_backend(leaf["q"].shape)
         on_tpu = (
             jax.default_backend() == "tpu"
             and "xla" not in leaf
