@@ -228,6 +228,32 @@ def test_generate_unequal_prompts_keep_prompt_tokens(params_f32):
     assert outs[1] == solo
 
 
+def test_sample_seed_env_reseeds_stream(monkeypatch):
+    """PREGO_SAMPLE_SEED (ab_sampled_verdicts.py's noise-floor control)
+    actually changes the sampling stream; same seed reproduces it."""
+    from prego_tpu.models.llama import ByteTokenizer, Llama
+
+    tok = ByteTokenizer()
+    cfg = tiny_test_config(vocab_size=tok.n_words)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    prompt = [[10, 11, 12]]
+
+    def draw():
+        # fresh Llama per draw: the key is read at construction
+        outs, _ = Llama(params, tok, cfg).generate(
+            [list(prompt[0])], max_gen_len=12, temperature=1.0, top_p=1.0
+        )
+        return outs[0]
+
+    a = draw()
+    monkeypatch.setenv("PREGO_SAMPLE_SEED", "1")
+    assert draw() == a  # default IS seed 1
+    monkeypatch.setenv("PREGO_SAMPLE_SEED", "2")
+    b = draw()
+    assert draw() == b  # reproducible per seed
+    assert a != b  # 12 tokens at T=1: collision is ~impossible
+
+
 def test_sample_top_p_nucleus_membership():
     from prego_tpu.ops.sampling import sample_top_p
 
