@@ -166,6 +166,12 @@ def _spec_generate_body(
     top_p: float,
     eos_id: int,
     kv_quant: bool,
+    self_draft_layers: int = 0,  # >0: draft_params is None and the draft
+    #   is the target's first N layers, SLICED FROM target_params INSIDE
+    #   the trace — passing the shared tree as a second jit argument
+    #   duplicates every weight leaf in the program's argument budget
+    #   (JAX does not deduplicate aliased leaves: 2 x 6.74 GB at int8 7B,
+    #   observed as an 18.05 GB AOT refusal, chipq_r5b)
     t_cache=None,  # None -> fresh zeros inside the jit; else a prefix
     #                cache already holding [0, start_offset)
     d_cache=None,
@@ -175,6 +181,11 @@ def _spec_generate_body(
     accepted, proposed). ``accepted/proposed`` is the realized
     acceptance rate (``proposed`` counts k per ACTIVE row per round —
     rows freeze at different times, so rounds*k*B overcounts)."""
+    if self_draft_layers and draft_params is None:
+        draft_params = dict(target_params)
+        draft_params["layers"] = list(target_params["layers"])[
+            :self_draft_layers
+        ]
     B = prompt.shape[0]
     if start_offset is None:
         start_offset = jnp.int32(0)
@@ -373,7 +384,7 @@ def _spec_generate_body(
 
 _SPEC_STATICS = (
     "config", "draft_config", "k", "out_buf_len", "temperature", "top_p",
-    "eos_id", "kv_quant",
+    "eos_id", "kv_quant", "self_draft_layers",
 )
 
 _spec_generate_jit = functools.partial(
@@ -401,6 +412,7 @@ def _spec_from_prefix_jit(
     eos_id: int,
     kv_quant: bool,
     batch: int = 1,
+    self_draft_layers: int = 0,
 ):
     """Prefix-cached speculative generation: both models resume from
     their cached B=1 prefix KV (broadcast to the request batch INSIDE the
@@ -420,7 +432,8 @@ def _spec_from_prefix_jit(
     return _spec_generate_body(
         target_params, draft_params, suffix, suffix_len, out_budget, key,
         None, config, draft_config, k, out_buf_len, temperature, top_p,
-        eos_id, kv_quant, t_cache=t_cache, d_cache=d_cache,
+        eos_id, kv_quant, self_draft_layers,
+        t_cache=t_cache, d_cache=d_cache,
         start_offset=start_offset,
     )
 
@@ -487,6 +500,24 @@ class SpeculativeLlama:
         self.target = target
         self.draft_params = draft_params
         self.draft_config = draft_config
+        # SELF-draft detection (self_draft(): the draft tree references
+        # the target's arrays): pass the draft to the jits as a STATIC
+        # layer count and slice the target tree inside the trace — a
+        # second pytree argument would re-budget every shared weight leaf
+        # (2 x 6.74 GB at int8 7B; AOT-refused over the tunnel, chipq_r5b)
+        self._self_draft_layers = 0
+        if (
+            draft_params is not None
+            and draft_params["tok_embeddings"] is target.params["tok_embeddings"]
+            and draft_params["norm"] is target.params["norm"]
+            and draft_params["output"] is target.params["output"]
+            and len(draft_params["layers"]) <= len(target.params["layers"])
+            and all(
+                d is t for d, t in
+                zip(draft_params["layers"], target.params["layers"])
+            )
+        ):
+            self._self_draft_layers = len(draft_params["layers"])
         self.k = int(k)
         self.pad_to_multiple = pad_to_multiple
         self._key = jax.random.PRNGKey(
@@ -562,9 +593,10 @@ class SpeculativeLlama:
             oracle = None
 
         self._key, key = jax.random.split(self._key)
+        sd = self._self_draft_layers if oracle is None else 0
         out, n, rounds, accepted, proposed = _spec_generate_jit(
             self.target.params,
-            self.draft_params if oracle is None else None,
+            (self.draft_params if not sd else None) if oracle is None else None,
             jnp.asarray(buf),
             jnp.asarray([len(t) for t in prompt_tokens], jnp.int32),
             jnp.int32(max_gen_len),
@@ -578,6 +610,7 @@ class SpeculativeLlama:
             top_p=float(top_p),
             eos_id=int(tok.eos_id),
             kv_quant=self.target.kv_quant,
+            self_draft_layers=sd,
         )
         out, n, rounds, accepted, proposed = jax.device_get(
             (out, n, rounds, accepted, proposed)
@@ -655,9 +688,10 @@ class SpeculativeLlama:
         out_buf_len = _round_up(max_gen_len + self.k + 1, self.pad_to_multiple)
 
         self._key, key = jax.random.split(self._key)
+        sd = self._self_draft_layers
         out, n, rounds, accepted, proposed = _spec_from_prefix_jit(
             target.params,
-            self.draft_params,
+            self.draft_params if not sd else None,
             jnp.asarray(buf),
             jnp.asarray([len(s) for s in suffixes], jnp.int32),
             jnp.int32(max_gen_len),
@@ -674,6 +708,7 @@ class SpeculativeLlama:
             eos_id=int(tok.eos_id),
             kv_quant=target.kv_quant,
             batch=bsz,
+            self_draft_layers=sd,
         )
         out, n, rounds, accepted, proposed = jax.device_get(
             (out, n, rounds, accepted, proposed)

@@ -144,6 +144,10 @@ def test_greedy_with_int8_target(target, draft):
 
     sd_params, sd_cfg = self_draft(qp, cfg, 1)
     spec_self = SpeculativeLlama(q_llama, sd_params, sd_cfg, k=4)
+    # shared-tree drafts go to the jit as a STATIC layer count, never as
+    # a second pytree argument (which would re-budget every weight leaf
+    # — the 2 x 6.74 GB AOT refusal, chipq_r5b)
+    assert spec_self._self_draft_layers == 1
     got_self = spec_self.generate(
         [list(prompt)], max_gen_len=16, temperature=0.0
     )
