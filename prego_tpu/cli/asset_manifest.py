@@ -331,7 +331,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     if rep.missing and not args.dry_run:
         print(f"{len(rep.missing)} assets missing (strict mode)", file=sys.stderr)
         return 1
-    print("manifest validation " + ("(dry-run) " if args.dry_run else "") + "OK")
+    if args.dry_run and rep.failures:
+        # exit-0 contract holds, but stdout must not read as a clean
+        # validation when pinned contracts failed
+        print(
+            f"manifest validation (dry-run) completed with "
+            f"{len(rep.failures)} FAILURES (see stderr)"
+        )
+    else:
+        print(
+            "manifest validation "
+            + ("(dry-run) " if args.dry_run else "") + "OK"
+        )
     return 0
 
 

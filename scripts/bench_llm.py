@@ -809,6 +809,9 @@ def bench_anticipation_step_7b_spec(tiny: bool, draft: str = "self16",
 
     def run(gen_fn, label):
         gen_fn(prompts_for([7, 8, 9]))  # compile + prefix build
+        # timed generations only in the counters (methodology parity
+        # with bench_spec_decode's post-warmup reset)
+        spec.rounds = spec.drafts_accepted = spec.drafts_proposed = 0
         ts = []
         for i in range(5):
             obs = [7, 8, 9] + rng.integers(4, 31999, i % 5).tolist()
@@ -1009,7 +1012,10 @@ def main():
     _watchdog(args.watchdog)
     names = sorted(CASES) if args.all or not args.case else [args.case]
     for name in names:
-        weather = _weather_probe()  # probed BEFORE each case body
+        # probed fresh BEFORE each case body (force: the per-process
+        # cache would otherwise label a mid-session slow patch with the
+        # first case's clean reading in --all runs)
+        weather = _weather_probe(force=True)
         row = CASES[name](args.tiny)
         if isinstance(row, dict) and "skipped" not in row:
             row["weather_ms"] = weather
