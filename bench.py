@@ -149,7 +149,9 @@ LLM_EXTRAS = (
     # config interleaved A/B/A/B in ONE process, so the official line
     # carries both b1 readings under identical weather — self-consistent
     # by construction (value = the decode_7b_int8 leg)
-    ("reconcile_7b_b1", "llm_decode_b1_7b_int8", 720),
+    ("reconcile_7b_b1", "llm_decode_b1_7b_int8", 900),  # TWO compile
+    # signatures (plain + kv8) before the interleaved reps — 415 s clean
+    # (chipq_r5a), watchdog-killed at 710 s in one slow patch (r5b)
     # the flagship PREGO serving number: 4-gen anticipation step,
     # step-batched x2, 1.5k-token shared context (1B-class shape)
     ("anticipation_step_sb2", "llm_anticipation_step_sb2", 600),
