@@ -286,12 +286,12 @@ def _collect_llm_extras(weather_clean: bool) -> dict:
     if not weather_clean:
         print("bench: skipping LLM extras (tunnel weather)", file=sys.stderr)
         return {}
-    # global deadline across ALL extras (default 50 min — eight cases at
-    # the measured ~5-7 min/child + weather re-run headroom): the
-    # driver's capture window must never be consumed by serving-bench
-    # retries; cases are ordered so budget exhaustion drops the newest
-    # rows first
-    deadline = time.time() + float(os.environ.get("PREGO_BENCH_LLM_BUDGET", "3000"))
+    # global deadline across ALL extras (default 55 min — eight cases at
+    # the measured ~5-7.5 min/child, which sums to ~54 min clean, plus
+    # slack for ONE slow-patch retry): the driver's capture window must
+    # never be consumed by serving-bench retries; cases are ordered so
+    # budget exhaustion drops the newest rows first
+    deadline = time.time() + float(os.environ.get("PREGO_BENCH_LLM_BUDGET", "3300"))
     rows = {}  # case -> (prefix, row)
     for case, prefix, timeout_s in LLM_EXTRAS:
         if time.time() + timeout_s > deadline:
