@@ -158,7 +158,8 @@ LLM_EXTRAS = (
     # continuous batching on the PREGO-shaped shared-context burst
     # (prefix-sharing admission; r3 left serving-burst rows
     # builder-measured only)
-    ("serving_cb_7b_ctx", "llm_serving_cb_7b_ctx", 600),
+    ("serving_cb_7b_ctx", "llm_serving_cb_7b_ctx", 720),  # registration
+    # + warm pass + timed pass: 590 s in one slow patch (r5b validation)
     # the anticipation step at the reference's TRUE scale (7B int8 +
     # int8-KV); late so an exhausted budget drops it before the 1B rows
     ("anticipation_step_7b_int8_kv8_sb2", "llm_anticipation_step_7b_sb2", 720),
