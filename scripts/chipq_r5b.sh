@@ -15,10 +15,10 @@ cd "$(dirname "$0")/.."
 
 echo "waiting for chipq_r5a QUEUE_DONE"
 for i in $(seq 1 200); do
-  grep -q QUEUE_DONE /tmp/chipq_r5a.log 2>/dev/null && break
+  grep -qx QUEUE_DONE /tmp/chipq_r5a.log 2>/dev/null && break
   sleep 60
 done
-grep -q QUEUE_DONE /tmp/chipq_r5a.log 2>/dev/null || echo "r5a sentinel missing; proceeding"
+grep -qx QUEUE_DONE /tmp/chipq_r5a.log 2>/dev/null || echo "r5a sentinel missing; proceeding"
 
 wait_for_tunnel() {
   for i in $(seq 1 30); do

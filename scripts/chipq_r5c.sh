@@ -13,10 +13,10 @@ cd "$(dirname "$0")/.."
 
 echo "waiting for chipq_r5b QUEUE_DONE"
 for i in $(seq 1 300); do
-  grep -q QUEUE_DONE /tmp/chipq_r5b.log 2>/dev/null && break
+  grep -qx QUEUE_DONE /tmp/chipq_r5b.log 2>/dev/null && break
   sleep 60
 done
-grep -q QUEUE_DONE /tmp/chipq_r5b.log 2>/dev/null || echo "r5b sentinel missing; proceeding"
+grep -qx QUEUE_DONE /tmp/chipq_r5b.log 2>/dev/null || echo "r5b sentinel missing; proceeding"
 
 wait_for_tunnel() {
   for i in $(seq 1 30); do
