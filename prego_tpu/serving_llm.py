@@ -587,6 +587,22 @@ class ContinuousBatcher:
 
         inflight = None  # (emits device array, end step) awaiting its fetch
 
+        # Overlap pays one extra chunk per serve() call: emissions are
+        # processed one chunk late, so after the last real chunk the
+        # loop decodes one more chunk of dead rows before the host
+        # learns every slot finished.  On a long burst that is noise
+        # (~3% at 36 chunks) and each chunk hides one fetch RTT — the
+        # measured s16 win; on the PREGO driver's per-step bursts (8
+        # requests, gen 8, chunk 8 = ONE chunk) it DOUBLES the decode
+        # work (r5e: 1.187 s/call vs 0.960 batch — the r4b CB workload
+        # win reversed).  Gate per call: overlap only when the expected
+        # chunk count amortizes the trailing dead chunk (savings ~N x
+        # fetch RTT ~25-50 ms vs ~one chunk ~100 ms -> break-even N~3).
+        waves = -(-len(requests) // max(1, S))
+        max_gen = max((r.max_gen_len for r in requests), default=0)
+        est_chunks = waves * max(1, -(-max_gen // self.chunk))
+        use_overlap = self.overlap_fetch and est_chunks >= 4
+
         while pending or slots or inflight is not None:
             # ---- admit into free slots (cache rows scatter in place; the
             # decode batch stalls only for the admitted suffix prefills)
@@ -640,7 +656,7 @@ class ContinuousBatcher:
                 )
                 step_idx += self.chunk
 
-            if not self.overlap_fetch:
+            if not use_overlap:
                 if emits is not None:
                     process(np.asarray(emits), step_idx)  # the ONE fetch
             else:
