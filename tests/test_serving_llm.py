@@ -67,6 +67,31 @@ def test_single_request_matches_oracle(llama):
     assert stats.prefills == 1
 
 
+def test_overlap_gate_short_bursts_decode_blocking(llama):
+    """The per-serve overlap gate (r5g): overlap processes emissions one
+    chunk late, so a short burst pays a trailing chunk of dead-slot
+    decode — on the PREGO driver's 1-chunk step bursts that DOUBLES the
+    decode work (r5e: CB 1.187 s/call vs 0.960 batch).  Short bursts
+    must take the blocking path even with overlap_fetch=True; long
+    bursts keep overlap and still match the oracle."""
+    cb = ContinuousBatcher(llama, slots=4, chunk=4, temperature=0.0,
+                           overlap_fetch=True)
+    req = Request(uid=0, prompt=[5, 9, 11, 30, 2], max_gen_len=4)
+    done, stats = cb.serve([req])
+    # one 4-token budget in one 4-step chunk: blocking processes it
+    # immediately — no trailing dead chunk in the accounting
+    assert stats.decode_steps == 4
+    assert done[0].tokens == _greedy_oracle(llama, req.prompt, 4)[:4]
+    # a long burst (3 waves x 6 chunks >= the gate) keeps overlap and
+    # parity; the trailing dead chunk is the documented overlap cost
+    reqs = [Request(uid=i, prompt=[4 + i, 7, 21], max_gen_len=24)
+            for i in range(12)]
+    done, stats = cb.serve([Request(**vars(r)) for r in reqs])
+    by_uid = {c.uid: c.tokens for c in done}
+    for r in reqs:
+        assert by_uid[r.uid] == _greedy_oracle(llama, r.prompt, 24), r.uid
+
+
 def test_mixed_lengths_all_match_oracle(llama):
     """More requests than slots, mixed prompt/gen lengths: every output
     must match its solo-run oracle despite slot sharing and reuse."""
