@@ -193,9 +193,10 @@ class JaxLlamaLLM:
         prefix_cache: bool = True,  # PREGO prompts share huge prefixes
         orbax_dir: Optional[str] = None,  # sharded-format cache of converted weights
         quantize=False,  # int8 serving (ops/quant.py): False | True/"int8"
-        # (weight-only) | "int8x8" (activation-quant int8 x int8 MXU —
-        # SINGLE-CHIP ONLY: the act layout has no TP PartitionSpecs, so
-        # tp > 1 raises instead of silently dropping the activation path)
+        # (weight-only) | "int8x8" (activation-quant int8 x int8 MXU;
+        # under tp>1 it shards with the same column/row specs as
+        # weight-only and routes through the SPMD-partitionable int32-dot
+        # XLA dense — parallel/sharding.py::llama_param_specs)
         kv_quant: bool = False,  # int8 KV cache (model.init_cache(quantized=True))
         fabricated: Optional[str] = None,  # "7b"/"13b": random weights at a
         # reference serving shape (vocab 32000, byte tokenizer) — TIMING
@@ -303,15 +304,6 @@ class JaxLlamaLLM:
             # (e.g. a CPU test mesh) would silently swap layouts. Pass
             # tp>1 explicitly for multi-chip int8 (unfused + xla paths).
             tp = 1 if quantize else len(jax.devices())
-        if tp > 1 and act_quant:
-            # VERDICT r4 #6: the int8x8 activation-quant layout has no TP
-            # PartitionSpecs (parallel/sharding.py) — raise instead of
-            # silently dropping the activation path the caller asked for
-            raise ValueError(
-                "int8x8 activation-quant serving is single-chip only "
-                "(no TP specs for the act layout); use quantize='int8' "
-                "for tensor-parallel serving or tp=1"
-            )
         quantized_loaded = False
         stage_ctx = (
             (lambda: jax.default_device(jax.devices("cpu")[0]))
@@ -398,9 +390,13 @@ class JaxLlamaLLM:
                 )
 
                 with stage_ctx():
-                    params = quantize_params(params)
+                    params = quantize_params(params, activations=act_quant)
                 params = shard_params(
-                    params, llama_param_specs(config, quantized=True), mesh
+                    params,
+                    llama_param_specs(
+                        config, quantized=True, activations=act_quant
+                    ),
+                    mesh,
                 )
                 params = mark_xla_dense(params)
             else:

@@ -64,7 +64,8 @@ def load_llama_params(
     the single-chip serving startup path (the reference re-merges Meta's
     .pth shards on every launch, generation.py:101-120; here the
     quantize-once/restore-int8 flow replaces it).  Quantized restore is
-    single-chip: the fused int8 layout deliberately has no TP specs."""
+    single-chip: tensor-parallel serving uses the UNfused layout
+    (JaxLlamaLLM converts fresh instead of restoring the fused cache)."""
     import orbax.checkpoint as ocp
 
     from prego_tpu.models.llama.model import init_params, init_params_quantized

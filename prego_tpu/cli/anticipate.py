@@ -99,7 +99,7 @@ def main(argv: Optional[List[str]] = None):
                    choices=["int8", "int8x8"],
                    help="int8 serving for --llm jax-llama: bare flag or "
                         "'int8' = weight-only; 'int8x8' = activation-quant "
-                        "int8 x int8 MXU matmuls (single-chip only)")
+                        "int8 x int8 MXU matmuls")
     p.add_argument("--kv_quant", action="store_true",
                    help="int8 KV cache for --llm jax-llama (half the decode "
                    "cache traffic, double the context capacity)")

@@ -28,6 +28,7 @@ from prego_tpu.models.llama.config import LlamaConfig
 def llama_param_specs(
     config: LlamaConfig, tp_axis: str = "tp",
     quantized: bool = False, fused: bool = False,
+    activations: bool = False,
 ) -> Dict[str, Any]:
     """PartitionSpec tree matching the parameter layout.
 
@@ -35,8 +36,18 @@ def llama_param_specs(
     "s": (1, N) f32} — ops/quant.py): column-parallel projections shard
     BOTH q and the per-output-channel scales on the output dim; row-
     parallel projections shard q on the input dim and replicate s (its N
-    axis is the unsharded output).  The int8x8 activation-quant layout
-    (leaf marker "act") is single-chip-only and has no specs.
+    axis is the unsharded output).
+
+    ``activations=True`` matches the int8x8 activation-quant layout
+    (structural leaf marker "act" — an empty tuple, zero pytree leaves,
+    present only so the spec tree's structure matches the param tree's).
+    The weight split is identical to weight-only; the runtime activation
+    quantization partitions exactly under SPMD: column-parallel inputs
+    are replicated (per-token amax is local), row-parallel inputs shard
+    the contraction dim, where the per-token amax becomes an all-reduce
+    max over tp and the int32 partial dots psum EXACTLY (integer
+    accumulation is associative; rescale happens after the reduce), so
+    TP output equals the single-chip act path bit-for-bit on the dot.
 
     ``fused=True`` matches the fused wqkv/w13 serving layout.  The specs
     are CORRECT under SPMD (every output column is independent, so a
@@ -49,7 +60,12 @@ def llama_param_specs(
     """
 
     def leaf(spec: P, s_spec: P):
-        return {"q": spec, "s": s_spec} if quantized else spec
+        if not quantized:
+            return spec
+        out = {"q": spec, "s": s_spec}
+        if activations:
+            out["act"] = ()
+        return out
 
     col = leaf(P(None, tp_axis), P(None, tp_axis))
     row = leaf(P(tp_axis, None), P())
