@@ -197,6 +197,35 @@ def test_int8x8_tp_decode_matches_single_device():
     np.testing.assert_allclose(ref_step, tp_step, rtol=1e-5, atol=1e-5)
 
 
+def test_int8x8_fused_layout_tp_decode_matches():
+    """fused=True + activations=True: the fused wqkv/w13 act layout also
+    lays out and verifies under TP (contiguous column split, same caveats
+    as the weight-only fused specs — multi-chip serving prefers unfused)."""
+    cfg = _cfg()
+    fused = quantize_params(
+        fuse_projections(init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)),
+        activations=True,
+    )
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(4, 250, (2, 8)).astype(np.int32))
+    ref_pre, ref_step = _decode_logits(fused, cfg, tokens)
+
+    cfg_tp = dataclasses.replace(cfg, tp_serving=True)
+    mesh = tp_mesh(8)
+    sharded = mark_xla_dense(
+        shard_params(
+            fused,
+            llama_param_specs(
+                cfg_tp, quantized=True, fused=True, activations=True
+            ),
+            mesh,
+        )
+    )
+    tp_pre, tp_step = _decode_logits(sharded, cfg_tp, tokens)
+    np.testing.assert_allclose(ref_pre, tp_pre, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ref_step, tp_step, rtol=1e-5, atol=1e-5)
+
+
 def test_jax_llama_llm_int8x8_tp_shards(tmp_path):
     """JaxLlamaLLM(tp=8, quantize='int8x8') shards the act layout (it
     used to raise — the r5 guard is superseded by real TP specs) and
